@@ -1,0 +1,97 @@
+"""Configuration for the dr3_tpu framework.
+
+Re-provides the reference's global Config singleton (reference
+include/config.hpp:12-37, src/config.cpp:7-21) as an immutable dataclass:
+defaults below mirror src/config.cpp:8-14, extended with the knobs the
+TPU-native pipelines need (static capacities, LK/RANSAC iteration counts that
+were hardcoded at call sites in the reference).
+
+Unlike the reference's mutable static singleton, configs here are frozen
+pytrees of *static* values: pass a Config into pipeline constructors; jitted
+functions close over its fields as Python constants so XLA sees static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- reference Config parity (src/config.cpp:8-14) ---
+    ransac_iters: int = 50          # stitching RANSAC iterations
+    ransac_threshold: float = 5.0   # px inlier threshold (stitch/F)
+    cell_size: int = 30             # feature-grid bucket size in px
+    n_pyr_levels: int = 3           # image pyramid levels
+    min_corner_score: float = 20.0  # min Shi-Tomasi score to keep a corner
+    reproj_threshold: float = 5.0   # px reprojection gate
+    map_scale: float = 1.0          # median-depth rescale target
+
+    # --- two-view init (reference src/initialization.cpp thresholds) ---
+    init_ransac_iters: int = 200    # F-matrix RANSAC model count (.cpp:44)
+    init_sigma: float = 1.0         # chi-square sigma (.cpp:579)
+    init_min_features: int = 100    # min FAST corners in first frame (.cpp:556)
+    init_min_tracked: int = 100     # min LK-tracked matches (.cpp:655)
+    init_min_triangulated: int = 50 # min accepted 3D points (ref needs
+                                    # max(0.9N,50) inside + 100 outside)
+    init_min_disparity: float = 1.0 # median px disparity to accept 2nd frame
+
+    # --- LK tracker (reference cv::calcOpticalFlowPyrLK args, .cpp:608-613) ---
+    klt_window: int = 15            # half the reference's 30px window => 15
+    klt_levels: int = 4
+    klt_iters: int = 10             # fixed GN iterations per level
+    klt_eps: float = 1e-3
+
+    # --- FAST detector ---
+    fast_threshold: float = 10.0    # intensity delta for FAST-10 arc test
+
+    # --- static capacities (TPU shapes) ---
+    max_corners: int = 2048         # per-frame corner capacity
+    max_points: int = 16384         # map landmark capacity
+    max_keyframes: int = 32         # sliding-window keyframe capacity
+    max_obs: int = 65536            # observation table capacity
+
+    # --- bundle adjustment ---
+    ba_max_iters: int = 20
+    ba_lambda0: float = 1e-3
+    ba_huber_delta: float = 5.0     # px, robust loss scale
+    ba_jacobi_scaling: bool = True  # fixes reference's Cholesky failures
+
+    # --- compute ---
+    dtype: Any = "float32"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "Config":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - fields
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**d)
+
+    @classmethod
+    def from_cli(cls, argv: list[str]) -> "Config":
+        """Parse ``--key=value`` overrides (the reference links gflags but
+        never parses flags, tests/slam/test_slam.cc:52-53 — we actually do)."""
+        out: dict[str, Any] = {}
+        defaults = cls()
+        for arg in argv:
+            if not arg.startswith("--"):
+                continue
+            key, _, val = arg[2:].partition("=")
+            key = key.replace("-", "_")
+            if not hasattr(defaults, key):
+                raise ValueError(f"unknown flag --{key}")
+            cur = getattr(defaults, key)
+            if isinstance(cur, bool):
+                out[key] = val.lower() in ("1", "true", "yes", "")
+            elif isinstance(cur, int):
+                out[key] = int(val)
+            elif isinstance(cur, float):
+                out[key] = float(val)
+            else:
+                out[key] = val
+        return defaults.replace(**out)

@@ -1,0 +1,67 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic (distributed BA, mesh collectives) is tested
+without TPU hardware via XLA's host-platform device-count override. The
+XLA flag must be set before jax initializes; the platform choice must be
+forced via jax.config because the environment pins JAX_PLATFORMS to the
+hardware plugin (which also rewrites the config at registration time).
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+# f32 matmuls must be real f32 in geometry code (bf16 MXU passes are opted
+# into explicitly where wanted, never silently in tests).
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_IMGS = "/root/reference/imgs"
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+    assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def kitti_pair():
+    """Two consecutive KITTI grayscale frames (fixture data from the
+    reference's checked-in imgs/, used as input data only)."""
+    from PIL import Image
+
+    f0 = os.path.join(REFERENCE_IMGS, "kitti0.png")
+    f1 = os.path.join(REFERENCE_IMGS, "kitti1.png")
+    if not (os.path.exists(f0) and os.path.exists(f1)):
+        pytest.skip("reference KITTI fixtures not available")
+    a = np.asarray(Image.open(f0).convert("L"), dtype=np.float32) / 255.0
+    b = np.asarray(Image.open(f1).convert("L"), dtype=np.float32) / 255.0
+    return a, b
+
+
+@pytest.fixture(scope="session")
+def kitti_seq():
+    """All ten consecutive KITTI frames kitti0..kitti9 as one [10, H, W]."""
+    from PIL import Image
+
+    paths = [os.path.join(REFERENCE_IMGS, f"kitti{i}.png") for i in range(10)]
+    if not all(os.path.exists(p) for p in paths):
+        pytest.skip("reference KITTI fixtures not available")
+    frames = [np.asarray(Image.open(p).convert("L"), dtype=np.float32) / 255.0
+              for p in paths]
+    return np.stack(frames)

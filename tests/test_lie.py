@@ -1,0 +1,123 @@
+"""SO3/SE3 unit tests: group axioms, exp/log round trips, batching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dr3_tpu.geometry.lie import SE3, SO3, hat, matrix_to_quat, quat_to_matrix
+
+
+def random_so3(rng, batch=()):
+    w = rng.normal(size=batch + (3,)).astype(np.float32)
+    return SO3.exp(jnp.asarray(w))
+
+
+def test_so3_identity():
+    r = SO3.identity()
+    v = jnp.asarray([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(r.apply(v), v, atol=1e-6)
+    np.testing.assert_allclose(r.matrix(), np.eye(3), atol=1e-6)
+
+
+def test_so3_exp_log_roundtrip(rng):
+    w = rng.normal(size=(64, 3)).astype(np.float32)
+    w = np.clip(w, -2.5, 2.5)  # keep |theta| < pi
+    back = np.asarray(SO3.exp(jnp.asarray(w)).log())
+    np.testing.assert_allclose(back, w, atol=2e-5)
+
+
+def test_so3_exp_small_angle():
+    w = jnp.asarray([[1e-9, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    q = SO3.exp(w).wxyz
+    assert np.all(np.isfinite(np.asarray(q)))
+    np.testing.assert_allclose(np.asarray(SO3.exp(w).log()), np.asarray(w), atol=1e-7)
+
+
+def test_so3_matrix_quat_roundtrip(rng):
+    r = random_so3(rng, (32,))
+    m = r.matrix()
+    q2 = matrix_to_quat(m)
+    # q and -q are the same rotation; matrix round-trip must match
+    np.testing.assert_allclose(np.asarray(quat_to_matrix(q2)), np.asarray(m), atol=1e-5)
+
+
+def test_so3_compose_matches_matrix(rng):
+    a = random_so3(rng)
+    b = random_so3(rng)
+    np.testing.assert_allclose(
+        np.asarray((a @ b).matrix()), np.asarray(a.matrix() @ b.matrix()), atol=1e-5
+    )
+
+
+def test_so3_inverse(rng):
+    a = random_so3(rng, (8,))
+    v = jnp.asarray(np.random.default_rng(1).normal(size=(8, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(a.inverse().apply(a.apply(v))), np.asarray(v), atol=1e-5
+    )
+
+
+def test_se3_exp_log_roundtrip(rng):
+    t = rng.normal(size=(64, 6)).astype(np.float32)
+    t[:, 3:] = np.clip(t[:, 3:], -2.5, 2.5)
+    back = np.asarray(SE3.exp(jnp.asarray(t)).log())
+    np.testing.assert_allclose(back, t, atol=1e-4)
+
+
+def test_se3_matrix_apply(rng):
+    tau = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+    T = SE3.exp(tau)
+    v = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
+    vh = jnp.concatenate([v, jnp.ones((10, 1))], axis=-1)
+    expected = (vh @ T.matrix().T)[:, :3]
+    np.testing.assert_allclose(np.asarray(T.apply(v)), np.asarray(expected), atol=1e-5)
+
+
+def test_se3_compose_inverse(rng):
+    a = SE3.exp(jnp.asarray(rng.normal(size=(6,)).astype(np.float32)))
+    b = SE3.exp(jnp.asarray(rng.normal(size=(6,)).astype(np.float32)))
+    c = a @ b
+    ident = (c @ c.inverse()).matrix()
+    np.testing.assert_allclose(np.asarray(ident), np.eye(4), atol=1e-5)
+
+
+def test_se3_center():
+    # pose T_f_w with R=I, t=(1,2,3): center = -t
+    T = SE3(jnp.asarray([1.0, 0, 0, 0]), jnp.asarray([1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(np.asarray(T.center()), [-1, -2, -3], atol=1e-6)
+
+
+def test_se3_retract_matches_exp_compose(rng):
+    T = SE3.exp(jnp.asarray(rng.normal(size=(6,)).astype(np.float32)))
+    d = jnp.asarray(0.01 * rng.normal(size=(6,)).astype(np.float32))
+    expected = (SE3.exp(d) @ T).matrix()
+    np.testing.assert_allclose(np.asarray(T.retract(d).matrix()), np.asarray(expected), atol=1e-6)
+
+
+def test_hat_antisymmetric():
+    v = jnp.asarray([1.0, 2.0, 3.0])
+    H = hat(v)
+    np.testing.assert_allclose(np.asarray(H), -np.asarray(H).T, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(H @ v), 0.0, atol=1e-7)
+
+
+def test_jit_vmap_compatible(rng):
+    t = rng.normal(size=(16, 6)).astype(np.float32)
+    t[:, 3:] = np.clip(t[:, 3:], -1.5, 1.5)  # keep |theta| < pi
+    taus = jnp.asarray(t)
+
+    @jax.jit
+    def f(taus):
+        T = SE3.exp(taus)
+        return T.log()
+
+    np.testing.assert_allclose(np.asarray(f(taus)), np.asarray(taus), atol=1e-4)
+
+
+def test_pytree_registration():
+    T = SE3.identity((4,))
+    leaves = jax.tree.leaves(T)
+    assert len(leaves) == 2
+    T2 = jax.tree.map(lambda x: x * 1.0, T)
+    assert isinstance(T2, SE3)
