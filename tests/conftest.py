@@ -34,9 +34,14 @@ def pytest_configure(config):
     assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    # fresh deterministic generator per test: no order dependence; seed
+    # derived from the test name so different tests see different scenes
+    import zlib
+
+    seed = zlib.crc32(request.node.name.encode())  # stable across processes
+    return np.random.default_rng(seed)
 
 
 @pytest.fixture(scope="session")
