@@ -1,0 +1,166 @@
+"""Bundle-adjustment problem layout + reprojection residuals/Jacobians.
+
+The reference flattens its Map into BAL-style arrays before every Ceres
+solve (reference OptProblem, src/optimizer.cpp:6-81: camera_index/
+point_index per observation, 6-dof cameras, 3-dof points, shared 4-param
+intrinsics) and its residual is an autodiff pinhole reprojection functor
+(include/optimizer.hpp:82-111). Here that flat layout IS the primary
+representation (SURVEY §7): fixed-capacity struct-of-arrays with weights as
+masks, so the whole problem is one pytree that jits and shards.
+
+Differences by design:
+* cameras are SE3 (quaternion + translation) updated by a left-multiplicative
+  retraction exp(delta) @ T — better conditioned than the reference's
+  angle-axis parameter vector;
+* Jacobians are analytic (closed-form [2,6]/[2,3] blocks on the VPU), not
+  autodiff — one fused program, no per-residual functor dispatch;
+* robust Huber weighting replaces Ceres' default trivial loss (the
+  reference's BA diverges on outliers; README.md:44).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from dr3_tpu.geometry.lie import SE3, hat, quat_rotate
+
+
+class BAProblem(NamedTuple):
+    cam_wxyz: jnp.ndarray    # [K, 4] world->camera rotations
+    cam_t: jnp.ndarray       # [K, 3] world->camera translations
+    points: jnp.ndarray      # [P, 3] world points
+    intrinsics: jnp.ndarray  # [4] fx, fy, cx, cy (shared, optimizer.cpp:144)
+    obs_cam: jnp.ndarray     # [O] int32 camera index per observation
+    obs_pt: jnp.ndarray      # [O] int32 point index per observation
+    obs_uv: jnp.ndarray      # [O, 2] measured pixels
+    obs_w: jnp.ndarray       # [O] weight; 0 = padding/invalid
+    cam_fixed: jnp.ndarray   # [K] bool gauge-fixed cameras
+
+    @property
+    def n_cams(self) -> int:
+        return self.cam_wxyz.shape[0]
+
+    @property
+    def n_points(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def n_obs(self) -> int:
+        return self.obs_cam.shape[0]
+
+    def cams(self) -> SE3:
+        return SE3(self.cam_wxyz, self.cam_t)
+
+
+def make_problem(cams: SE3, points, intrinsics, obs_cam, obs_pt, obs_uv,
+                 obs_w=None, cam_fixed=None) -> BAProblem:
+    obs_cam = jnp.asarray(obs_cam, jnp.int32)
+    if obs_w is None:
+        obs_w = jnp.ones(obs_cam.shape[0], jnp.float32)
+    if cam_fixed is None:
+        cam_fixed = jnp.zeros(cams.wxyz.shape[0], bool).at[0].set(True)
+    return BAProblem(
+        cam_wxyz=cams.wxyz, cam_t=cams.t, points=jnp.asarray(points),
+        intrinsics=jnp.asarray(intrinsics), obs_cam=obs_cam,
+        obs_pt=jnp.asarray(obs_pt, jnp.int32), obs_uv=jnp.asarray(obs_uv),
+        obs_w=jnp.asarray(obs_w), cam_fixed=jnp.asarray(cam_fixed),
+    )
+
+
+def project(intr: jnp.ndarray, xc: jnp.ndarray) -> jnp.ndarray:
+    """Pinhole projection of camera-frame points [..., 3] (optimizer.hpp:95-108)."""
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    z = jnp.where(jnp.abs(xc[..., 2:3]) < 1e-9, 1e-9, xc[..., 2:3])
+    xy = xc[..., :2] / z
+    return jnp.stack([fx * xy[..., 0] + cx, fy * xy[..., 1] + cy], axis=-1)
+
+
+class Residuals(NamedTuple):
+    r: jnp.ndarray        # [O, 2] weighted residuals
+    Jc: jnp.ndarray       # [O, 2, 6] weighted d r / d cam tangent [rho, omega]
+    Jp: jnp.ndarray       # [O, 2, 3] weighted d r / d point
+    cost: jnp.ndarray     # [] robust cost
+    valid: jnp.ndarray    # [O] finite & in-front mask
+
+
+def residuals_only(p: BAProblem, huber_delta: float = 5.0) -> jnp.ndarray:
+    """[O, 2] unweighted reprojection residuals (for diagnostics)."""
+    q = p.cam_wxyz[p.obs_cam]
+    t = p.cam_t[p.obs_cam]
+    X = p.points[p.obs_pt]
+    xc = quat_rotate(q, X) + t
+    return project(p.intrinsics, xc) - p.obs_uv
+
+
+def linearize(p: BAProblem, huber_delta: float = 5.0) -> Residuals:
+    """Residuals + analytic Jacobians for every observation, batched.
+
+    Left-multiplicative SE3 retraction: for T' = exp([rho, omega]) @ T,
+    d X_c / d rho = I, d X_c / d omega = -[X_c]x, d X_c / d X_world = R.
+    Robust weighting folds sqrt(Huber weight) * obs weight into r and J
+    (standard IRLS form), so downstream code sees a plain least-squares
+    problem.
+    """
+    q = p.cam_wxyz[p.obs_cam]
+    t = p.cam_t[p.obs_cam]
+    X = p.points[p.obs_pt]
+    xc = quat_rotate(q, X) + t
+
+    fx, fy = p.intrinsics[0], p.intrinsics[1]
+    z = xc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    inv_z = 1.0 / z_safe
+    x_z = xc[..., 0] * inv_z
+    y_z = xc[..., 1] * inv_z
+
+    r = project(p.intrinsics, xc) - p.obs_uv  # [O, 2]
+
+    # d r / d xc  [O, 2, 3]
+    zero = jnp.zeros_like(inv_z)
+    J_proj = jnp.stack([
+        jnp.stack([fx * inv_z, zero, -fx * x_z * inv_z], -1),
+        jnp.stack([zero, fy * inv_z, -fy * y_z * inv_z], -1),
+    ], -2)
+
+    # camera block: [I | -hat(xc)]  -> [O, 3, 6]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), xc.shape[:-1] + (3, 3))
+    J_pose = jnp.concatenate([eye, -hat(xc)], axis=-1)
+    Jc = J_proj @ J_pose  # [O, 2, 6]
+
+    # point block: R (rotate world displacement into camera) [O, 3, 3]
+    R = _quat_to_matrix_batched(q)
+    Jp = J_proj @ R
+
+    # robust IRLS weights
+    r_norm = jnp.linalg.norm(r, axis=-1)
+    huber_w = jnp.where(r_norm <= huber_delta, 1.0,
+                        huber_delta / jnp.maximum(r_norm, 1e-12))
+    valid = (z > 1e-6) & jnp.all(jnp.isfinite(r), axis=-1)
+    w = p.obs_w * huber_w * valid.astype(r.dtype)
+    sw = jnp.sqrt(w)[..., None]
+
+    # robust cost: 0.5 r^2 inside, delta(|r| - delta/2) outside
+    rho = jnp.where(r_norm <= huber_delta, 0.5 * r_norm**2,
+                    huber_delta * (r_norm - 0.5 * huber_delta))
+    cost = jnp.sum(p.obs_w * valid.astype(r.dtype) * rho)
+
+    return Residuals(r=r * sw, Jc=Jc * sw[..., None], Jp=Jp * sw[..., None],
+                     cost=cost, valid=valid)
+
+
+def _quat_to_matrix_batched(q: jnp.ndarray) -> jnp.ndarray:
+    from dr3_tpu.geometry.lie import quat_normalize, quat_to_matrix
+
+    return quat_to_matrix(quat_normalize(q))
+
+
+def apply_update(p: BAProblem, dcam: jnp.ndarray, dpt: jnp.ndarray) -> BAProblem:
+    """Retract camera tangents [K, 6] and add point deltas [P, 3]; fixed
+    cameras stay put."""
+    dcam = jnp.where(p.cam_fixed[:, None], 0.0, dcam)
+    new_cams = SE3.exp(dcam) @ SE3(p.cam_wxyz, p.cam_t)
+    new_cams = new_cams.normalize()
+    return p._replace(cam_wxyz=new_cams.wxyz, cam_t=new_cams.t,
+                      points=p.points + dpt)

@@ -1,0 +1,1 @@
+from dr3_tpu.parallel.mesh import make_mesh  # noqa: F401

@@ -1,0 +1,54 @@
+"""Distributed Schur BA on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dr3_tpu.ba.schur_lm import bundle_adjust
+from dr3_tpu.parallel.dist_ba import dist_bundle_adjust, partition_problem
+from tests.test_ba import synthetic_ba
+
+
+def test_partition_covers_everything(rng):
+    prob, *_ = synthetic_ba(rng, n_cams=4, n_pts=50)
+    sp = partition_problem(prob, 4)
+    # every observation is preserved with weight > 0 exactly once
+    assert float(sp.obs_w.sum()) == float(jnp.sum(prob.obs_w))
+    # every point appears exactly once in the permutation
+    perm = sp.point_perm[sp.point_perm >= 0]
+    assert sorted(perm.tolist()) == list(range(prob.n_points))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_dist_matches_single_device(rng, n_dev):
+    prob, cams_true, pts_true = synthetic_ba(rng, n_cams=5, n_pts=96,
+                                             noise_px=0.3)
+    single = bundle_adjust(prob, 10)
+    dist = dist_bundle_adjust(prob, n_devices=n_dev, max_iters=10)
+    # identical algorithm, identical damping schedule -> same costs
+    np.testing.assert_allclose(float(dist.initial_cost),
+                               float(single.initial_cost), rtol=1e-4)
+    np.testing.assert_allclose(float(dist.final_cost),
+                               float(single.final_cost), rtol=0.05)
+    # and the solutions agree
+    np.testing.assert_allclose(np.asarray(dist.problem.cam_t),
+                               np.asarray(single.problem.cam_t), atol=1e-2)
+
+
+def test_dist_converges_to_truth(rng):
+    prob, cams_true, pts_true = synthetic_ba(rng, n_cams=6, n_pts=120)
+    res = dist_bundle_adjust(prob, n_devices=8, max_iters=15)
+    assert float(res.final_cost) < float(res.initial_cost) * 1e-3
+    err_t = np.abs(np.asarray(res.problem.cam_t) - np.asarray(cams_true.t)).max()
+    assert err_t < 2e-2
+    err_p = np.abs(np.asarray(res.problem.points) - pts_true).max()
+    assert err_p < 5e-2
+
+
+def test_dist_uneven_points(rng):
+    # point count not divisible by device count exercises padding
+    prob, *_ = synthetic_ba(rng, n_cams=4, n_pts=103)
+    res = dist_bundle_adjust(prob, n_devices=8, max_iters=8)
+    assert float(res.final_cost) < float(res.initial_cost)
+    assert int(res.n_accepted) >= 3
