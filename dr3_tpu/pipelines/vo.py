@@ -1,0 +1,490 @@
+"""Monocular visual odometry / SLAM.
+
+The union of the reference's two SLAM stacks, completed:
+
+* state machine FIRST -> SECOND -> GENERAL like HandlerMono (reference
+  include/svo/handler.h:18-22, src/handler.cpp:31-48);
+* first/second frame bootstrap = the SVO init path (src/handler.cpp:54-78 ->
+  src/initialization.cpp:543-741): FAST detect (>=100 corners), pyramidal LK
+  with disparity gating, ORB-SLAM two-view init, median-depth rescale,
+  keyframed initial map;
+* **GENERAL frames — the stage the reference never implemented**
+  (``HandlerMono::process_frame`` is an empty stub, src/handler.cpp:80-82;
+  its intended stages exist only as timer names "sparse_img_align,
+  feature_align, pose_optimizer, local_BA", src/handler.cpp:22-26). Here:
+  LK feature tracking -> motion-only pose optimization (Huber GN on
+  reprojection) -> reprojection outlier gating -> keyframe decision ->
+  triangulation of new landmarks -> sliding-window local BA with the
+  Schur LM — fulfilling the reference README's TODOs ("Add only KeyFrames
+  for graph optimization", "Reduce the number of points", README.md:47-48);
+* legacy-SLAM parity pieces: per-stage Monitor timers + report
+  (src/slam.cpp:49-84), trajectory export for the viewer.
+
+Architecture: all per-frame compute is jitted with static shapes (track
+table = one slot per detection cell; keyframe ring; masked map); the Python
+layer only sequences stages and holds cursors — the reference's pointer
+surgery becomes functional array updates.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dr3_tpu.ba.problem import make_problem
+from dr3_tpu.ba.schur_lm import bundle_adjust, pose_only_adjust
+from dr3_tpu.geometry.lie import SE3
+from dr3_tpu.models.camera import Pinhole
+from dr3_tpu.ops import corners, lk, pyramid
+from dr3_tpu.pipelines.twoview_init import initialize_two_view
+from dr3_tpu.state import KeyframeState, MapState, TrackState
+from dr3_tpu.utils.config import Config
+from dr3_tpu.utils.timing import Monitor
+
+
+class Stage(enum.Enum):
+    FIRST = 0     # handler.h:18-22 state machine
+    SECOND = 1
+    GENERAL = 2
+    RELOCALIZE = 3
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels (module level; cfg/cam-dims static through partial closure)
+# ---------------------------------------------------------------------------
+
+def _detect(pyr, cfg: Config, occupancy=None):
+    return corners.detect_features(pyr[: cfg.n_pyr_levels], cfg.cell_size,
+                                   cfg.min_corner_score, cfg.fast_threshold,
+                                   occupancy=occupancy)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _track(pyr_prev, pyr_cur, tracks: TrackState, cfg: Config):
+    res = lk.track_pyramid(pyr_prev, pyr_cur, tracks.px, tracks.valid,
+                           half_window=cfg.klt_window // 2,
+                           iters=cfg.klt_iters, eps=cfg.klt_eps)
+    return tracks._replace(px=res.pos, valid=tracks.valid & res.ok,
+                           age=tracks.age + 1), res
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _pose_optimize(tracks: TrackState, map_xyz, map_valid, T_guess: SE3,
+                   cam: Pinhole, cfg: Config):
+    """Motion-only BA on the current frame's 3D-2D matches + reprojection
+    outlier gate. Returns (new pose, inlier track mask, n_inliers)."""
+    has_pt = tracks.valid & (tracks.point >= 0)
+    pt_idx = jnp.maximum(tracks.point, 0)
+    w = (has_pt & map_valid[pt_idx]).astype(jnp.float32)
+    intr = jnp.stack([cam.fx, cam.fy, cam.cx, cam.cy])
+    prob = make_problem(
+        cams=SE3(T_guess.wxyz[None], T_guess.t[None]),
+        points=map_xyz, intrinsics=intr,
+        obs_cam=jnp.zeros_like(tracks.point), obs_pt=pt_idx,
+        obs_uv=tracks.px, obs_w=w,
+        cam_fixed=jnp.zeros((1,), bool))
+    res = pose_only_adjust(prob, 10, cfg.ba_huber_delta)
+    T_new = SE3(res.problem.cam_wxyz[0], res.problem.cam_t[0])
+
+    # reprojection gate (Config::reprojection_threshold parity)
+    xc = T_new.apply(map_xyz[pt_idx])
+    uv = cam.world2cam(xc)
+    err = jnp.linalg.norm(uv - tracks.px, axis=-1)
+    inlier = (w > 0) & (err < cfg.reproj_threshold) & (xc[..., 2] > 1e-3)
+    return T_new, inlier, jnp.sum(inlier.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _triangulate_new(tracks: TrackState, kfs: KeyframeState, T_cur: SE3,
+                     map_state: MapState, point_cursor, cam: Pinhole,
+                     cfg: Config):
+    """Triangulate tracks that have no map point yet, against their
+    originating keyframe (DLT + cheirality + reprojection + parallax gates,
+    the per-keyframe analogue of initialization.cpp CheckRT)."""
+    K = cam.K
+    need = tracks.valid & (tracks.point < 0) & (tracks.ref_kf >= 0)
+    ref_slot = jnp.clip(tracks.ref_kf, 0, kfs.wxyz.shape[0] - 1)
+    T_ref = SE3(kfs.wxyz[ref_slot], kfs.t[ref_slot])  # [N] poses world->ref
+
+    from dr3_tpu.geometry.epipolar import triangulate
+
+    # per-track projection matrices P = K [R|t]
+    def proj_mat(T: SE3):
+        R = T.rotation().matrix()
+        Rt = jnp.concatenate([R, T.t[..., :, None]], axis=-1)
+        return jnp.einsum("ij,...jk->...ik", K, Rt)
+
+    P_ref = proj_mat(T_ref)           # [N, 3, 4]
+    P_cur = proj_mat(T_cur)           # [3, 4]
+    P_cur = jnp.broadcast_to(P_cur, P_ref.shape)
+
+    def rows(P, p):
+        r1 = p[..., 0:1] * P[..., 2, :] - P[..., 0, :]
+        r2 = p[..., 1:2] * P[..., 2, :] - P[..., 1, :]
+        return r1, r2
+
+    a1, a2 = rows(P_ref, tracks.ref_px)
+    a3, a4 = rows(P_cur, tracks.px)
+    A = jnp.stack([a1, a2, a3, a4], axis=-2)
+    from dr3_tpu.geometry.linalg import smallest_eigvec_gram
+
+    Xh = smallest_eigvec_gram(A)
+    wh = jnp.where(jnp.abs(Xh[..., 3:4]) < 1e-12, 1e-12, Xh[..., 3:4])
+    X = Xh[..., :3] / wh  # [N, 3] world
+
+    # gates: in front of both cams, reprojection, parallax
+    xc_ref = T_ref.apply(X)
+    xc_cur = T_cur.apply(X)
+    front = (xc_ref[..., 2] > 1e-3) & (xc_cur[..., 2] > 1e-3)
+    e_ref = jnp.linalg.norm(cam.world2cam(xc_ref) - tracks.ref_px, axis=-1)
+    e_cur = jnp.linalg.norm(cam.world2cam(xc_cur) - tracks.px, axis=-1)
+    reproj_ok = (e_ref < cfg.reproj_threshold) & (e_cur < cfg.reproj_threshold)
+    c_ref = T_ref.center()
+    c_cur = T_cur.center()
+    r1 = X - c_ref
+    r2 = X - c_cur
+    cosp = jnp.sum(r1 * r2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-12)
+    parallax_ok = cosp < jnp.cos(jnp.deg2rad(1.0))
+    good = need & front & reproj_ok & parallax_ok & jnp.all(jnp.isfinite(X), -1)
+
+    # allocate map slots: rank among good + cursor, capacity-clamped
+    rank = jnp.cumsum(good.astype(jnp.int32)) - 1
+    slot = point_cursor + rank
+    good = good & (slot < map_state.xyz.shape[0])
+    slot_safe = jnp.where(good, slot, 0)
+    new_xyz = map_state.xyz.at[slot_safe].set(
+        jnp.where(good[:, None], X, map_state.xyz[slot_safe]))
+    new_valid = map_state.valid.at[slot_safe].set(
+        map_state.valid[slot_safe] | good)
+    new_point = jnp.where(good, slot, tracks.point)
+    n_new = jnp.sum(good.astype(jnp.int32))
+    return (tracks._replace(point=new_point.astype(jnp.int32)),
+            MapState(xyz=new_xyz, valid=new_valid),
+            point_cursor + n_new, n_new)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 4))
+def _spawn_tracks(pyr_cur, tracks: TrackState, cfg: Config, kf_slot,
+                  img_hw):
+    """Detect new corners in cells not covered by live tracks and place them
+    into free track slots (grid occupancy parity, src/features.cpp:75-95)."""
+    occ = corners.make_occupancy(tracks.px, tracks.valid, img_hw, cfg.cell_size)
+    feats = _detect(pyr_cur, cfg, occupancy=occ)
+    n = tracks.px.shape[0]
+
+    free = ~tracks.valid
+    # rank free slots and new corners; corner with rank r -> r-th free slot
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1           # [N]
+    scatter_idx = jnp.where(free, free_rank, n)  # occupied -> dropped
+    slot_of_rank = jnp.full((n,), -1, jnp.int32).at[scatter_idx].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+    new_rank = jnp.cumsum(feats.valid.astype(jnp.int32)) - 1
+    n_free = jnp.sum(free.astype(jnp.int32))
+    can_place = feats.valid & (new_rank < n_free)
+    dest = jnp.where(can_place, slot_of_rank[jnp.clip(new_rank, 0, n - 1)], -1)
+    dest_safe = jnp.where(dest >= 0, dest, 0)
+    place = dest >= 0
+
+    def put(arr, val):
+        return arr.at[dest_safe].set(
+            jnp.where(place.reshape(place.shape + (1,) * (arr.ndim - 1)),
+                      val, arr[dest_safe]))
+
+    tr = tracks._replace(
+        px=put(tracks.px, feats.xy),
+        ref_px=put(tracks.ref_px, feats.xy),
+        ref_kf=put(tracks.ref_kf, jnp.full_like(tracks.ref_kf, kf_slot)),
+        point=put(tracks.point, jnp.full_like(tracks.point, -1)),
+        age=put(tracks.age, jnp.zeros_like(tracks.age)),
+        valid=tracks.valid | (jnp.zeros_like(tracks.valid).at[dest_safe].set(place)),
+    )
+    return tr, jnp.sum(place.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _local_ba(kfs: KeyframeState, map_state: MapState, intr, cfg: Config,
+              max_iters: int):
+    """Sliding-window BA from keyframe snapshots (keyframes-only graph —
+    the reference README's TODO, README.md:47-48)."""
+    K, N = kfs.obs_point.shape
+    obs_cam = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+    obs_pt_raw = kfs.obs_point.reshape(-1)
+    obs_uv = kfs.obs_px.reshape(-1, 2)
+    pt_idx = jnp.maximum(obs_pt_raw, 0)
+    w = ((obs_pt_raw >= 0) & kfs.valid[:, None].repeat(N, 1).reshape(-1)
+         & map_state.valid[pt_idx]).astype(jnp.float32)
+
+    # gauge: fix the two oldest valid keyframes
+    order = jnp.where(kfs.valid, kfs.frame_id, jnp.iinfo(jnp.int32).max)
+    oldest = jnp.argsort(order)[:2]
+    fixed = jnp.zeros((K,), bool).at[oldest].set(True) | ~kfs.valid
+
+    prob = make_problem(cams=SE3(kfs.wxyz, kfs.t), points=map_state.xyz,
+                        intrinsics=intr, obs_cam=obs_cam, obs_pt=pt_idx,
+                        obs_uv=obs_uv, obs_w=w, cam_fixed=fixed)
+    res = bundle_adjust(prob, max_iters, cfg.ba_huber_delta, True, cfg.ba_lambda0)
+    kfs2 = kfs._replace(wxyz=res.problem.cam_wxyz, t=res.problem.cam_t)
+    # only observed points moved; masked updates keep the rest
+    map2 = map_state._replace(xyz=res.problem.points)
+    return kfs2, map2, res.initial_cost, res.final_cost
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+class FrameStats(NamedTuple):
+    frame_id: int
+    stage: str
+    n_tracked: int
+    n_inliers: int
+    is_keyframe: bool
+    n_map_points: int
+
+
+class MonoVO:
+    """Monocular VO/SLAM driver (HandlerMono + SLAM union)."""
+
+    def __init__(self, cam: Pinhole, cfg: Optional[Config] = None, seed: int = 0):
+        self.cam = cam
+        self.cfg = cfg or Config()
+        n_cols = -(-cam.width // self.cfg.cell_size)
+        n_rows = -(-cam.height // self.cfg.cell_size)
+        self.n_tracks = n_cols * n_rows
+        self.key = jax.random.PRNGKey(seed)
+        self.monitor = Monitor()
+        self.reset()
+
+    def reset(self):
+        self.frame_idx = -1
+        self.trajectory: list[np.ndarray] = []   # T_f_w 4x4 per frame
+        self.stats: list[FrameStats] = []
+        self._reset_init()
+
+    def _reset_init(self):
+        """Drop tracking/map state but keep trajectory + counters (the
+        reference just nulls its initializer on failure,
+        initialization.cpp:557-560)."""
+        self.stage = Stage.FIRST
+        self.tracks = TrackState.empty(self.n_tracks)
+        self.kfs = KeyframeState.empty(self.cfg.max_keyframes, self.n_tracks)
+        self.map = MapState.empty(self.cfg.max_points)
+        self.T_cur = SE3.identity()
+        self.pyr_prev = None
+        self.kf_count = 0
+        self.point_cursor = 0
+        self.last_kf_tracked = 0
+
+    # -- helpers ----------------------------------------------------------
+    @property
+    def intr(self):
+        return jnp.stack([self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy])
+
+    def _snapshot_kf(self, slot: int, frame_id: int):
+        """Write pose + track-table snapshot into a keyframe slot."""
+        k = self.kfs
+        obs_pt = jnp.where(self.tracks.valid, self.tracks.point, -1)
+        self.kfs = k._replace(
+            wxyz=k.wxyz.at[slot].set(self.T_cur.wxyz),
+            t=k.t.at[slot].set(self.T_cur.t),
+            frame_id=k.frame_id.at[slot].set(frame_id),
+            valid=k.valid.at[slot].set(True),
+            obs_px=k.obs_px.at[slot].set(self.tracks.px),
+            obs_point=k.obs_point.at[slot].set(obs_pt),
+        )
+
+    def _evict_oldest_if_full(self):
+        if self.kf_count < self.cfg.max_keyframes:
+            return self.kf_count  # next free slot
+        # roll the ring left: slot 0 (oldest) evicted
+        k = self.kfs
+        self.kfs = KeyframeState(
+            wxyz=jnp.roll(k.wxyz, -1, 0), t=jnp.roll(k.t, -1, 0),
+            frame_id=jnp.roll(k.frame_id, -1, 0).at[-1].set(-1),
+            valid=jnp.roll(k.valid, -1, 0).at[-1].set(False),
+            obs_px=jnp.roll(k.obs_px, -1, 0),
+            obs_point=jnp.roll(k.obs_point, -1, 0).at[-1].set(-1),
+        )
+        new_ref = self.tracks.ref_kf - 1
+        self.tracks = self.tracks._replace(ref_kf=new_ref)
+        self.kf_count = self.cfg.max_keyframes - 1
+        return self.kf_count
+
+    # -- stages -----------------------------------------------------------
+    def process(self, img: np.ndarray) -> np.ndarray:
+        """Add one grayscale frame [H, W] in [0,1]; returns T_f_w 4x4."""
+        self.frame_idx += 1
+        cfg = self.cfg
+        self.monitor.tic("global")
+        self.monitor.tic("pyramid")
+        pyr = pyramid.build_pyramid(jnp.asarray(img), max(cfg.n_pyr_levels,
+                                                          cfg.klt_levels))
+        self.monitor.toc("pyramid", block=pyr[-1])
+
+        if self.stage is Stage.FIRST:
+            self._process_first(pyr)
+        elif self.stage is Stage.SECOND:
+            self._process_second(pyr)
+        else:
+            self._process_general(pyr)
+
+        self.pyr_prev = pyr
+        self.monitor.toc("global")
+        T = np.array(self.T_cur.matrix())
+        self.trajectory.append(T)
+        return T
+
+    def _process_first(self, pyr):
+        cfg = self.cfg
+        self.monitor.tic("detect")
+        feats = _detect(pyr, cfg)
+        n = int(feats.n)
+        self.monitor.toc("detect")
+        if n < cfg.init_min_features:  # initialization.cpp:556-561
+            self._log_stats("first", 0, 0, False)
+            return
+        self.tracks = TrackState(
+            px=feats.xy, ref_px=feats.xy,
+            ref_kf=jnp.zeros((self.n_tracks,), jnp.int32),
+            point=jnp.full((self.n_tracks,), -1, jnp.int32),
+            age=jnp.zeros((self.n_tracks,), jnp.int32),
+            valid=feats.valid)
+        self.T_cur = SE3.identity()
+        self._snapshot_kf(0, self.frame_idx)
+        self.kf_count = 1
+        self.stage = Stage.SECOND
+        self._log_stats("first", n, n, True)
+
+    def _process_second(self, pyr):
+        cfg = self.cfg
+        self.monitor.tic("klt")
+        self.tracks, res = _track(self.pyr_prev, pyr, self.tracks, cfg)
+        self.monitor.toc("klt", block=res.pos)
+        n_tracked = int(self.tracks.n)
+        if n_tracked < cfg.init_min_tracked:  # initialization.cpp:655
+            self._reset_init()
+            self._log_stats("second", n_tracked, 0, False)
+            return
+        disp = jnp.linalg.norm(self.tracks.px - self.tracks.ref_px, axis=-1)
+        med_disp = float(jnp.nanmedian(jnp.where(self.tracks.valid, disp, jnp.nan)))
+        if not np.isfinite(med_disp) or med_disp < cfg.init_min_disparity:
+            self._log_stats("second", n_tracked, 0, False)
+            return  # wait for more baseline, keep tracking
+
+        self.monitor.tic("init")
+        self.key, sub = jax.random.split(self.key)
+        result = initialize_two_view(sub, self.tracks.ref_px, self.tracks.px,
+                                     self.tracks.valid, self.cam.K, cfg)
+        self.monitor.toc("init", block=result.points)
+        if not bool(result.success):
+            self._log_stats("second", n_tracked, int(result.n_good), False)
+            return
+
+        # create initial map (initialization.cpp:716-739)
+        good = result.good
+        rank = jnp.cumsum(good.astype(jnp.int32)) - 1
+        slot = jnp.where(good, rank, 0)
+        new_xyz = self.map.xyz.at[slot].set(
+            jnp.where(good[:, None], result.points, self.map.xyz[slot]))
+        new_valid = self.map.valid.at[slot].set(good | self.map.valid[slot])
+        self.map = MapState(xyz=new_xyz, valid=new_valid)
+        self.point_cursor = int(jnp.sum(good.astype(jnp.int32)))
+        self.tracks = self.tracks._replace(
+            point=jnp.where(good, rank, -1).astype(jnp.int32),
+            valid=self.tracks.valid & good)
+        self.T_cur = result.T_cur_ref  # ref kf pose is identity
+        self._snapshot_kf(1, self.frame_idx)
+        self.kf_count = 2
+        self.last_kf_tracked = int(jnp.sum(good.astype(jnp.int32)))
+        self.stage = Stage.GENERAL
+        self._log_stats("second", n_tracked, int(result.n_good), True)
+
+    def _process_general(self, pyr):
+        cfg = self.cfg
+        self.monitor.tic("klt")
+        self.tracks, res = _track(self.pyr_prev, pyr, self.tracks, cfg)
+        self.monitor.toc("klt", block=res.pos)
+
+        self.monitor.tic("pose_optimizer")
+        T_new, inlier, n_inl = _pose_optimize(self.tracks, self.map.xyz,
+                                              self.map.valid, self.T_cur,
+                                              self.cam, cfg)
+        self.monitor.toc("pose_optimizer", block=T_new.t)
+        n_inliers = int(n_inl)
+        if n_inliers >= 10:
+            self.T_cur = T_new
+            # drop tracks whose map point failed the reprojection gate
+            has_pt = self.tracks.point >= 0
+            self.tracks = self.tracks._replace(
+                valid=self.tracks.valid & (~has_pt | inlier))
+        n_tracked = int(self.tracks.n)
+
+        is_kf = self._keyframe_needed(n_inliers)
+        if is_kf:
+            self._make_keyframe()
+        self._log_stats("general", n_tracked, n_inliers, is_kf)
+
+    def _keyframe_needed(self, n_inliers: int) -> bool:
+        if n_inliers < 15:
+            return True  # tracking nearly lost -> force keyframe/triangulation
+        disp = jnp.linalg.norm(self.tracks.px - self.tracks.ref_px, axis=-1)
+        med = float(jnp.nanmedian(jnp.where(self.tracks.valid, disp, jnp.nan)))
+        if np.isfinite(med) and med > 40.0:
+            return True
+        return n_inliers < 0.5 * max(self.last_kf_tracked, 1)
+
+    def _make_keyframe(self):
+        cfg = self.cfg
+        slot = self._evict_oldest_if_full()
+
+        self.monitor.tic("triangulate")
+        self.tracks, self.map, cursor, n_new = _triangulate_new(
+            self.tracks, self.kfs, self.T_cur, self.map,
+            jnp.asarray(self.point_cursor, jnp.int32), self.cam, cfg)
+        self.point_cursor = int(cursor)
+        self.monitor.toc("triangulate", block=self.map.xyz)
+
+        self.monitor.tic("detect")
+        self.tracks, n_spawned = _spawn_tracks(
+            self.pyr_prev, self.tracks, cfg, jnp.asarray(slot, jnp.int32),
+            (self.cam.height, self.cam.width))
+        self.monitor.toc("detect", block=self.tracks.px)
+
+        self._snapshot_kf(slot, self.frame_idx)
+        self.kf_count += 1
+        self.last_kf_tracked = int(jnp.sum(
+            (self.tracks.valid & (self.tracks.point >= 0)).astype(jnp.int32)))
+
+        self.monitor.tic("local_BA")
+        self.kfs, self.map, c0, c1 = _local_ba(self.kfs, self.map, self.intr,
+                                               cfg, 8)
+        self.monitor.toc("local_BA", block=self.map.xyz)
+        # current pose = the just-optimized keyframe pose
+        self.T_cur = SE3(self.kfs.wxyz[slot], self.kfs.t[slot])
+
+    def _log_stats(self, stage, n_tracked, n_inliers, is_kf):
+        self.stats.append(FrameStats(self.frame_idx, stage, n_tracked,
+                                     n_inliers, is_kf, int(self.map.n)))
+
+    # -- reporting (SLAM::pprint parity, src/slam.cpp:49-84) --------------
+    def report(self) -> str:
+        return self.monitor.report(
+            n_frames=self.frame_idx + 1,
+            extra={"keyframes": self.kf_count, "map_points": int(self.map.n),
+                   "observations": int(self.map.n_observations(self.kfs))})
+
+    def positions(self) -> np.ndarray:
+        """[T, 3] camera centers in world (pos() parity, frame.hpp:82)."""
+        out = []
+        for T in self.trajectory:
+            R = T[:3, :3]
+            t = T[:3, 3]
+            out.append(-R.T @ t)
+        return np.asarray(out)
