@@ -154,11 +154,16 @@ class SO3:
 
     @classmethod
     def exp(cls, omega: jnp.ndarray) -> "SO3":
-        """Rotation-vector exponential with theta->0 Taylor guard."""
+        """Rotation-vector exponential with theta->0 Taylor guard.
+
+        Uses the safe-where pattern (guarded inputs inside the untaken
+        branch) so gradients stay finite under autodiff at theta -> 0.
+        """
         omega = jnp.asarray(omega)
         theta_sq = jnp.sum(omega**2, axis=-1, keepdims=True)
-        theta = jnp.sqrt(jnp.maximum(theta_sq, _EPS**2))
         use_taylor = theta_sq < _EPS
+        safe_sq = jnp.where(use_taylor, 1.0, theta_sq)  # branch-safe input
+        theta = jnp.sqrt(safe_sq)
         half = 0.5 * theta
         # sin(t/2)/t: Taylor 0.5 - t^2/48
         k = jnp.where(use_taylor, 0.5 - theta_sq / 48.0, jnp.sin(half) / theta)
@@ -172,12 +177,14 @@ class SO3:
         w = q[..., :1]
         vec = q[..., 1:]
         norm_sq = jnp.sum(vec**2, axis=-1, keepdims=True)
-        norm = jnp.sqrt(jnp.maximum(norm_sq, _EPS**2))
         use_taylor = norm_sq < _EPS
+        safe_sq = jnp.where(use_taylor, 1.0, norm_sq)  # branch-safe input
+        norm = jnp.sqrt(safe_sq)
+        w_safe = jnp.maximum(w, _EPS)
         # atan2(|v|, w) * 2 / |v|; Taylor: 2/w - 2|v|^2/(3 w^3)
         k = jnp.where(
             use_taylor,
-            2.0 / jnp.maximum(w, _EPS) - 2.0 * norm_sq / (3.0 * jnp.maximum(w, _EPS) ** 3),
+            2.0 / w_safe - 2.0 * norm_sq / (3.0 * w_safe**3),
             2.0 * jnp.arctan2(norm, w) / norm,
         )
         return k * vec
@@ -244,15 +251,16 @@ class SE3:
         rho, omega = tangent[..., :3], tangent[..., 3:]
         rot = SO3.exp(omega)
         theta_sq = jnp.sum(omega**2, axis=-1)[..., None, None]
-        theta = jnp.sqrt(jnp.maximum(theta_sq, _EPS**2))
         use_taylor = theta_sq < _EPS
+        safe_sq = jnp.where(use_taylor, 1.0, theta_sq)  # branch-safe input
+        theta = jnp.sqrt(safe_sq)
         W = hat(omega)
         WW = W @ W
         eye = jnp.broadcast_to(jnp.eye(3, dtype=tangent.dtype), WW.shape)
         A = jnp.where(use_taylor, 0.5 - theta_sq / 24.0,
-                      (1.0 - jnp.cos(theta)) / jnp.maximum(theta_sq, _EPS**2))
+                      (1.0 - jnp.cos(theta)) / safe_sq)
         B = jnp.where(use_taylor, 1.0 / 6.0 - theta_sq / 120.0,
-                      (theta - jnp.sin(theta)) / jnp.maximum(theta_sq * theta, _EPS**3))
+                      (theta - jnp.sin(theta)) / (safe_sq * theta))
         V = eye + A * W + B * WW
         t = jnp.einsum("...ij,...j->...i", V, rho)
         return cls(rot.wxyz, t)
@@ -262,8 +270,9 @@ class SE3:
         rot = SO3(self.wxyz)
         omega = rot.log()
         theta_sq = jnp.sum(omega**2, axis=-1)[..., None, None]
-        theta = jnp.sqrt(jnp.maximum(theta_sq, _EPS**2))
         use_taylor = theta_sq < _EPS
+        safe_sq = jnp.where(use_taylor, 1.0, theta_sq)  # branch-safe input
+        theta = jnp.sqrt(safe_sq)
         W = hat(omega)
         WW = W @ W
         eye = jnp.broadcast_to(jnp.eye(3, dtype=self.t.dtype), WW.shape)
@@ -272,8 +281,8 @@ class SE3:
         k = jnp.where(
             use_taylor,
             1.0 / 12.0 + theta_sq / 720.0,
-            (1.0 - half_theta * jnp.cos(half_theta) / jnp.maximum(jnp.sin(half_theta), _EPS))
-            / jnp.maximum(theta_sq, _EPS**2),
+            (1.0 - half_theta * jnp.cos(half_theta)
+             / jnp.maximum(jnp.sin(half_theta), _EPS)) / safe_sq,
         )
         Vinv = eye - 0.5 * W + k * WW
         rho = jnp.einsum("...ij,...j->...i", Vinv, self.t)
