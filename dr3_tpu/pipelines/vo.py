@@ -330,6 +330,9 @@ class MonoVO:
 
         if self.stage is Stage.FIRST:
             self._process_first(pyr)
+        elif self.pyr_prev is None:
+            # resuming from a checkpoint: re-seed imagery, keep pose/map
+            self._log_stats("reseed", int(self.tracks.n), 0, False)
         elif self.stage is Stage.SECOND:
             self._process_second(pyr)
         else:
