@@ -141,3 +141,22 @@ def track_pyramid(
         guess = pos * 2.0 if lvl > 0 else pos
     ok_final = ok_all & valid & (err < max_err)
     return TrackResult(pos=guess, ok=ok_final, err=err)
+
+
+def track_pyramid_auto(pyr_prev, pyr_next, pts, valid, init=None,
+                       half_window: int = 15, iters: int = 10,
+                       eps: float = 1e-2, max_err: float = 40.0) -> TrackResult:
+    """Backend dispatcher: the Pallas DMA kernel on TPU (where XLA gathers
+    are ~2000x off speed-of-light), the fused jnp formulation elsewhere
+    (CPU gathers are fine and the interpreter would be slow)."""
+    import jax
+
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        from dr3_tpu.ops.pallas.lk_pallas import track_pyramid_pallas
+
+        return track_pyramid_pallas(pyr_prev, pyr_next, pts, valid, init=init,
+                                    half_window=half_window, iters=iters,
+                                    eps=eps, max_err=max_err, interpret=False)
+    return track_pyramid(pyr_prev, pyr_next, pts, valid, init=init,
+                         half_window=half_window, iters=iters, eps=eps,
+                         max_err=max_err)

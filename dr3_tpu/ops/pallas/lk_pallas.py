@@ -1,0 +1,237 @@
+"""Pallas TPU kernel for pyramidal Lucas-Kanade tracking.
+
+Why a kernel: the jnp LK (ops/lk.py) expresses patch access as XLA gathers
+— [N, W, W] arbitrary-index loads, 4 per bilinear sample, ~13 samples per
+track per level. On TPU those lower to scalarized gathers and dominate the
+VO front-end (~316 ms/frame measured at N=546, W=15, 4 levels, 10 iters).
+
+Kernel design — all constraints of the Mosaic memory model respected:
+
+* TPU vector loads and DMAs require tile-aligned starts/extents (8 sublanes
+  x 128 lanes), so arbitrary patch windows cannot be addressed directly.
+  Instead each access loads an **aligned** [32, 256] region (base rounded
+  down to the tile grid, `pl.multiple_of` hints) from the VMEM-resident
+  padded image, then shifts the window to its origin with two tiny one-hot
+  **selection matmuls on the MXU**: rows = Sr @ region, cols = rows @ Sc,
+  where Sr/Sc encode the in-tile residual offsets (iota == compare). Zero
+  gathers, zero DMAs, dense VPU/MXU work only.
+* One grid step per track; track centers arrive via scalar prefetch (SMEM)
+  because they compute the load bases.
+* Images are edge-padded in XLA so every aligned load is in-bounds and
+  border behavior matches the jnp path's clamp sampling.
+
+Outputs match ops/lk.py's contract: (pos, ok, err).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dr3_tpu.ops.lk import TrackResult
+
+PAD = 16           # top/left padding; must exceed half_window + 2
+_ROWS = 32         # aligned region rows loaded per access (8 | _ROWS)
+_LANES = 256       # aligned region lanes loaded per access (128 | _LANES)
+
+
+def _select_window(region, ry, rx, size):
+    """Extract region[ry:ry+size, rx:rx+size] for *dynamic* in-tile
+    residuals ry in [0,8), rx in [0,128) via one-hot selection matmuls."""
+    rows_idx = jax.lax.broadcasted_iota(jnp.int32, (size, _ROWS), 1)
+    sel_r = (rows_idx == (ry + jax.lax.broadcasted_iota(
+        jnp.int32, (size, _ROWS), 0))).astype(region.dtype)
+    cols_idx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, size), 0)
+    sel_c = (cols_idx == (rx + jax.lax.broadcasted_iota(
+        jnp.int32, (_LANES, size), 1))).astype(region.dtype)
+    rows = jax.lax.dot_general(sel_r, region, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(rows, sel_c, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _aligned_window(img_ref, y0, x0, size):
+    """Load the window img[y0:y0+size, x0:x0+size] at arbitrary integer
+    (y0, x0) using an aligned vector load + selection matmuls."""
+    y8 = pl.multiple_of((y0 // 8) * 8, 8)
+    x128 = pl.multiple_of((x0 // 128) * 128, 128)
+    region = img_ref[pl.ds(y8, _ROWS), pl.ds(x128, _LANES)]
+    return _select_window(region, y0 - y8, x0 - x128, size)
+
+
+def _lk_kernel(meta_ref, img_prev_ref, img_next_ref, pos_ref, ok_ref, err_ref,
+               *, half: int, iters: int, min_eig: float):
+    """One grid step = one track; coordinates are in *padded* image space.
+    meta_ref (SMEM) rows: [px, py, gx, gy] at this level's scale."""
+    i = pl.program_id(0)
+    W = 2 * half + 1
+    RT = W + 3  # template window incl. gradient + bilinear margins
+
+    px = meta_ref[i, 0]
+    py = meta_ref[i, 1]
+    bx = jnp.floor(px).astype(jnp.int32) - half - 1
+    by = jnp.floor(py).astype(jnp.int32) - half - 1
+    fx = px - jnp.floor(px)
+    fy = py - jnp.floor(py)
+
+    region = _aligned_window(img_prev_ref, by, bx, RT)
+
+    def bil(reg, off_y, off_x, fy_, fx_, size):
+        a = reg[off_y:off_y + size, off_x:off_x + size]
+        b = reg[off_y:off_y + size, off_x + 1:off_x + size + 1]
+        c = reg[off_y + 1:off_y + size + 1, off_x:off_x + size]
+        d = reg[off_y + 1:off_y + size + 1, off_x + 1:off_x + size + 1]
+        return ((1 - fy_) * (1 - fx_) * a + (1 - fy_) * fx_ * b
+                + fy_ * (1 - fx_) * c + fy_ * fx_ * d)
+
+    T = bil(region, 1, 1, fy, fx, W)
+    gx = (bil(region, 1, 2, fy, fx, W) - bil(region, 1, 0, fy, fx, W)) * 0.5
+    gy = (bil(region, 2, 1, fy, fx, W) - bil(region, 0, 1, fy, fx, W)) * 0.5
+
+    gxx = jnp.sum(gx * gx)
+    gxy = jnp.sum(gx * gy)
+    gyy = jnp.sum(gy * gy)
+    det = gxx * gyy - gxy * gxy
+    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tr = gxx + gyy
+    n_px = float(W * W)
+    eig_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / n_px
+    conditioned = eig_min > (min_eig / (255.0 ** 2))
+
+    def load_target(cx, cy):
+        tbx = jnp.floor(cx).astype(jnp.int32) - half
+        tby = jnp.floor(cy).astype(jnp.int32) - half
+        tfx = cx - jnp.floor(cx)
+        tfy = cy - jnp.floor(cy)
+        win = _aligned_window(img_next_ref, tby, tbx, W + 1)
+        return bil(win, 0, 0, tfy, tfx, W)
+
+    def body(_, state):
+        cx, cy = state
+        I = load_target(cx, cy)
+        r = I - T
+        bx_ = jnp.sum(r * gx)
+        by_ = jnp.sum(r * gy)
+        dx = (gyy * bx_ - gxy * by_) / det_safe
+        dy = (gxx * by_ - gxy * bx_) / det_safe
+        return cx - dx, cy - dy
+
+    # clamp the initial guess into the padded domain so bases stay legal
+    h_pad, w_pad = img_next_ref.shape
+    cx0 = jnp.clip(meta_ref[i, 2], float(PAD), float(w_pad - PAD - 1))
+    cy0 = jnp.clip(meta_ref[i, 3], float(PAD), float(h_pad - PAD - 1))
+    cx, cy = jax.lax.fori_loop(0, iters, body, (cx0, cy0))
+    cx = jnp.clip(cx, 1.0, float(w_pad - 2))
+    cy = jnp.clip(cy, 1.0, float(h_pad - 2))
+
+    I = load_target(cx, cy)
+    err = jnp.mean(jnp.abs(I - T)) * 255.0
+
+    pos_ref[pl.ds(i, 1), :] = jnp.stack([cx, cy]).reshape(1, 2)
+    ok_ref[pl.ds(i, 1), :] = conditioned.astype(jnp.float32).reshape(1, 1)
+    err_ref[pl.ds(i, 1), :] = err.reshape(1, 1)
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_image(img):
+    """Edge-replicate pad: PAD on top/left; bottom to an 8-multiple plus
+    _ROWS slack; right to a 128-multiple plus _LANES slack — every aligned
+    [_ROWS, _LANES] load stays in-bounds."""
+    h, w = img.shape
+    ph = _round_up(h + 2 * PAD, 8) + _ROWS
+    pw = _round_up(w + 2 * PAD, 128) + _LANES
+    return jnp.pad(img, ((PAD, ph - h - PAD), (PAD, pw - w - PAD)), mode="edge")
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def track_level_pallas(img_prev, img_next, pts_prev, guess,
+                       half_window: int = 7, iters: int = 10,
+                       min_eig: float = 1e-4, interpret: bool = False):
+    """Pallas counterpart of ops.lk.track_level (inverse-compositional GN).
+
+    pts_prev/guess [N, 2] at this level's scale. Returns (pos, ok, err).
+    """
+    assert half_window + 2 <= PAD, "half_window too large for padding"
+    n = pts_prev.shape[0]
+    h, w = img_prev.shape
+
+    ip = _pad_image(img_prev)
+    inx = _pad_image(img_next)
+
+    max_xy = jnp.asarray([w - 1 + PAD, h - 1 + PAD], jnp.float32)
+    pts_pad = jnp.clip(pts_prev + PAD, float(PAD), max_xy)
+    guess_pad = jnp.clip(guess + PAD, float(PAD), max_xy)
+    meta = jnp.concatenate([pts_pad, guess_pad], axis=-1)  # [N, 4]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(ip.shape, lambda i, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(inx.shape, lambda i, m: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, 2), lambda i, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i, m: (0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    kernel = functools.partial(_lk_kernel, half=half_window, iters=iters,
+                               min_eig=min_eig)
+    pos, ok, err = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(meta, ip, inx)
+    pos = pos - PAD
+    center_in = (pos[:, 0] >= 0) & (pos[:, 1] >= 0) & \
+        (pos[:, 0] <= w - 1) & (pos[:, 1] <= h - 1)
+    return pos, (ok[:, 0] > 0.5) & center_in, err[:, 0]
+
+
+def track_pyramid_pallas(pyr_prev: List[jnp.ndarray], pyr_next: List[jnp.ndarray],
+                         pts: jnp.ndarray, valid: jnp.ndarray,
+                         init: jnp.ndarray | None = None,
+                         half_window: int = 7, iters: int = 10,
+                         eps: float = 1e-2, max_err: float = 40.0,
+                         interpret: bool | None = None) -> TrackResult:
+    """Drop-in replacement for ops.lk.track_pyramid using the TPU kernel.
+
+    ``interpret=None`` auto-selects: compiled on TPU, interpreter elsewhere
+    (CPU tests run the same kernel code path through the Pallas interpreter).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    n_levels = len(pyr_prev)
+    guess = (pts if init is None else init) / (2.0 ** (n_levels - 1))
+    ok_all = jnp.ones(pts.shape[0], bool)
+    err = jnp.zeros(pts.shape[0], pts.dtype)
+    for lvl in range(n_levels - 1, -1, -1):
+        pts_l = pts / (2.0 ** lvl)
+        pos, ok, err = track_level_pallas(pyr_prev[lvl], pyr_next[lvl], pts_l,
+                                          guess, half_window, iters, 1e-4,
+                                          interpret)
+        ok_all = ok_all & ok
+        guess = pos * 2.0 if lvl > 0 else pos
+    ok_final = ok_all & valid & (err < max_err)
+    return TrackResult(pos=guess, ok=ok_final, err=err)

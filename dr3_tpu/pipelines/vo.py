@@ -66,9 +66,9 @@ def _detect(pyr, cfg: Config, occupancy=None):
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _track(pyr_prev, pyr_cur, tracks: TrackState, cfg: Config):
-    res = lk.track_pyramid(pyr_prev, pyr_cur, tracks.px, tracks.valid,
-                           half_window=cfg.klt_window // 2,
-                           iters=cfg.klt_iters, eps=cfg.klt_eps)
+    res = lk.track_pyramid_auto(pyr_prev, pyr_cur, tracks.px, tracks.valid,
+                                half_window=cfg.klt_window // 2,
+                                iters=cfg.klt_iters, eps=cfg.klt_eps)
     return tracks._replace(px=res.pos, valid=tracks.valid & res.ok,
                            age=tracks.age + 1), res
 
