@@ -64,8 +64,10 @@ def main():
         out = step(a, b, px, valid, track_point, map_xyz, map_valid,
                    pose_wxyz, pose_t)
         px = out[0]
-        # keep the track table full so every frame does identical work
-        px = jnp.clip(px, 25.0, None)
+        # keep the track table full and in-frame so every frame does
+        # identical work
+        px = jnp.clip(px, jnp.asarray([25.0, 25.0]),
+                      jnp.asarray([1240.0 - 25.0, 376.0 - 25.0]))
         valid = track_valid
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0

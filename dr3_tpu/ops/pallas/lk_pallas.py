@@ -111,6 +111,15 @@ def _lk_kernel(meta_ref, img_prev_ref, img_next_ref, pos_ref, ok_ref, err_ref,
         win = _aligned_window(img_next_ref, tby, tbx, W + 1)
         return bil(win, 0, 0, tfy, tfx, W)
 
+    # every aligned load must stay inside the padded image even when a GN
+    # step diverges — clamp the iterate after every update (a clamped-out
+    # track reads replicated border pixels and fails the ok gate later)
+    h_pad, w_pad = img_next_ref.shape
+    lo_x = float(half + 1)
+    lo_y = float(half + 1)
+    hi_x = float(w_pad - _LANES + half)
+    hi_y = float(h_pad - _ROWS + half)
+
     def body(_, state):
         cx, cy = state
         I = load_target(cx, cy)
@@ -119,15 +128,11 @@ def _lk_kernel(meta_ref, img_prev_ref, img_next_ref, pos_ref, ok_ref, err_ref,
         by_ = jnp.sum(r * gy)
         dx = (gyy * bx_ - gxy * by_) / det_safe
         dy = (gxx * by_ - gxy * bx_) / det_safe
-        return cx - dx, cy - dy
+        return (jnp.clip(cx - dx, lo_x, hi_x), jnp.clip(cy - dy, lo_y, hi_y))
 
-    # clamp the initial guess into the padded domain so bases stay legal
-    h_pad, w_pad = img_next_ref.shape
-    cx0 = jnp.clip(meta_ref[i, 2], float(PAD), float(w_pad - PAD - 1))
-    cy0 = jnp.clip(meta_ref[i, 3], float(PAD), float(h_pad - PAD - 1))
+    cx0 = jnp.clip(meta_ref[i, 2], lo_x, hi_x)
+    cy0 = jnp.clip(meta_ref[i, 3], lo_y, hi_y)
     cx, cy = jax.lax.fori_loop(0, iters, body, (cx0, cy0))
-    cx = jnp.clip(cx, 1.0, float(w_pad - 2))
-    cy = jnp.clip(cy, 1.0, float(h_pad - 2))
 
     I = load_target(cx, cy)
     err = jnp.mean(jnp.abs(I - T)) * 255.0
