@@ -208,10 +208,8 @@ def _spawn_tracks(pyr_cur, tracks: TrackState, cfg: Config, kf_slot,
     return tr, jnp.sum(place.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _local_ba(kfs: KeyframeState, map_state: MapState, intr, cfg: Config,
-              max_iters: int):
-    """Sliding-window BA from keyframe snapshots (keyframes-only graph —
+def _window_problem(kfs: KeyframeState, map_state: MapState, intr):
+    """Flatten keyframe snapshots into a BAProblem (keyframes-only graph —
     the reference README's TODO, README.md:47-48)."""
     K, N = kfs.obs_point.shape
     obs_cam = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
@@ -226,12 +224,35 @@ def _local_ba(kfs: KeyframeState, map_state: MapState, intr, cfg: Config,
     oldest = jnp.argsort(order)[:2]
     fixed = jnp.zeros((K,), bool).at[oldest].set(True) | ~kfs.valid
 
-    prob = make_problem(cams=SE3(kfs.wxyz, kfs.t), points=map_state.xyz,
+    return make_problem(cams=SE3(kfs.wxyz, kfs.t), points=map_state.xyz,
                         intrinsics=intr, obs_cam=obs_cam, obs_pt=pt_idx,
                         obs_uv=obs_uv, obs_w=w, cam_fixed=fixed)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _local_ba(kfs: KeyframeState, map_state: MapState, intr, cfg: Config,
+              max_iters: int):
+    """Single-device sliding-window BA from keyframe snapshots."""
+    prob = _window_problem(kfs, map_state, intr)
     res = bundle_adjust(prob, max_iters, cfg.ba_huber_delta, True, cfg.ba_lambda0)
     kfs2 = kfs._replace(wxyz=res.problem.cam_wxyz, t=res.problem.cam_t)
     # only observed points moved; masked updates keep the rest
+    map2 = map_state._replace(xyz=res.problem.points)
+    return kfs2, map2, res.initial_cost, res.final_cost
+
+
+def _local_ba_distributed(kfs: KeyframeState, map_state: MapState, intr,
+                          cfg: Config, max_iters: int, mesh):
+    """Mesh-distributed window BA: points shard over the mesh, cameras
+    replicate, one psum of the reduced camera system per LM iteration
+    (parallel/dist_ba.py)."""
+    from dr3_tpu.parallel.dist_ba import dist_bundle_adjust
+
+    prob = _window_problem(kfs, map_state, intr)
+    res = dist_bundle_adjust(prob, max_iters=max_iters,
+                             huber_delta=cfg.ba_huber_delta,
+                             lambda0=cfg.ba_lambda0, mesh=mesh)
+    kfs2 = kfs._replace(wxyz=res.problem.cam_wxyz, t=res.problem.cam_t)
     map2 = map_state._replace(xyz=res.problem.points)
     return kfs2, map2, res.initial_cost, res.final_cost
 
@@ -250,9 +271,16 @@ class FrameStats(NamedTuple):
 
 
 class MonoVO:
-    """Monocular VO/SLAM driver (HandlerMono + SLAM union)."""
+    """Monocular VO/SLAM driver (HandlerMono + SLAM union).
 
-    def __init__(self, cam: Pinhole, cfg: Optional[Config] = None, seed: int = 0):
+    ``mesh``: optional jax.sharding.Mesh — local BA then runs as the
+    distributed Schur solve with map points sharded over the mesh
+    (parallel/dist_ba.py); single-chip behavior is identical.
+    """
+
+    def __init__(self, cam: Pinhole, cfg: Optional[Config] = None, seed: int = 0,
+                 mesh=None):
+        self.mesh = mesh
         self.cam = cam
         self.cfg = cfg or Config()
         n_cols = -(-cam.width // self.cfg.cell_size)
@@ -266,6 +294,9 @@ class MonoVO:
         self.frame_idx = -1
         self.trajectory: list[np.ndarray] = []   # T_f_w 4x4 per frame
         self.stats: list[FrameStats] = []
+        self.T_anchor = SE3.identity()  # maps local frame -> world on re-init
+        self.lost_count = 0
+        self.n_relocalizations = 0
         self._reset_init()
 
     def _reset_init(self):
@@ -340,7 +371,9 @@ class MonoVO:
 
         self.pyr_prev = pyr
         self.monitor.toc("global")
-        T = np.array(self.T_cur.matrix())
+        # report in the global frame: local pose chained through the anchor
+        # set at the last relocalization (identity unless tracking was lost)
+        T = np.array((self.T_cur @ self.T_anchor).matrix())
         self.trajectory.append(T)
         return T
 
@@ -423,16 +456,36 @@ class MonoVO:
         n_inliers = int(n_inl)
         if n_inliers >= 10:
             self.T_cur = T_new
+            self.lost_count = 0
             # drop tracks whose map point failed the reprojection gate
             has_pt = self.tracks.point >= 0
             self.tracks = self.tracks._replace(
                 valid=self.tracks.valid & (~has_pt | inlier))
+        else:
+            # failure detection (SURVEY §5: the reference has none —
+            # failures only glog + silent degradation): after 3 consecutive
+            # lost frames, re-bootstrap anchored at the last good pose
+            self.lost_count += 1
+            if self.lost_count >= 3:
+                self._relocalize()
+                self._log_stats("relocalize", 0, 0, False)
+                return
         n_tracked = int(self.tracks.n)
 
         is_kf = self._keyframe_needed(n_inliers)
         if is_kf:
             self._make_keyframe()
         self._log_stats("general", n_tracked, n_inliers, is_kf)
+
+    def _relocalize(self):
+        """Tracking lost: restart the bootstrap in a fresh local frame and
+        chain it onto the last reported pose. Monocular scale across the
+        gap is unobservable; the anchor keeps the trajectory continuous."""
+        self.T_anchor = SE3.from_matrix(jnp.asarray(self.trajectory[-1])) \
+            if self.trajectory else SE3.identity()
+        self.n_relocalizations += 1
+        self.lost_count = 0
+        self._reset_init()
 
     def _keyframe_needed(self, n_inliers: int) -> bool:
         if n_inliers < 15:
@@ -466,8 +519,12 @@ class MonoVO:
             (self.tracks.valid & (self.tracks.point >= 0)).astype(jnp.int32)))
 
         self.monitor.tic("local_BA")
-        self.kfs, self.map, c0, c1 = _local_ba(self.kfs, self.map, self.intr,
-                                               cfg, 8)
+        if self.mesh is not None:
+            self.kfs, self.map, c0, c1 = _local_ba_distributed(
+                self.kfs, self.map, self.intr, cfg, 8, self.mesh)
+        else:
+            self.kfs, self.map, c0, c1 = _local_ba(self.kfs, self.map,
+                                                   self.intr, cfg, 8)
         self.monitor.toc("local_BA", block=self.map.xyz)
         # current pose = the just-optimized keyframe pose
         self.T_cur = SE3(self.kfs.wxyz[slot], self.kfs.t[slot])
@@ -481,7 +538,8 @@ class MonoVO:
         return self.monitor.report(
             n_frames=self.frame_idx + 1,
             extra={"keyframes": self.kf_count, "map_points": int(self.map.n),
-                   "observations": int(self.map.n_observations(self.kfs))})
+                   "observations": int(self.map.n_observations(self.kfs)),
+                   "relocalizations": self.n_relocalizations})
 
     def positions(self) -> np.ndarray:
         """[T, 3] camera centers in world (pos() parity, frame.hpp:82)."""
