@@ -1,0 +1,95 @@
+"""Monocular SLAM runner (reference tests/slam/test_slam.cc +
+tests/test_pipeline.cpp + scripts/slam.sh equivalents).
+
+    python -m dr3_tpu.run_slam --seq /path/to/kitti/00 --out results/
+    python -m dr3_tpu.run_slam                 # 10-frame fixture sequence
+    python -m dr3_tpu.run_slam --distributed   # local BA over all devices
+
+Writes trajectory (TUM format), the map rendering PNG, a checkpoint, and
+prints the per-stage Monitor report (SLAM::pprint parity).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seq", default=None,
+                    help="KITTI odometry sequence dir (image_0/ + times.txt); "
+                         "defaults to the checked-in 10-frame fixture")
+    ap.add_argument("--out", default="results")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--distributed", action="store_true",
+                    help="shard local BA over all visible devices")
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--resume", default=None, help="checkpoint path to resume")
+    args, unknown = ap.parse_known_args(argv)
+
+    from dr3_tpu.io.kitti import open_fixture_sequence, open_sequence
+    from dr3_tpu.pipelines.vo import MonoVO
+    from dr3_tpu.utils.config import Config
+
+    cfg = Config.from_cli(unknown)  # --cell_size=30 style overrides
+    seq = open_sequence(args.seq) if args.seq else open_fixture_sequence()
+    mesh = None
+    if args.distributed:
+        from dr3_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    vo = MonoVO(seq.cam, cfg, mesh=mesh)
+    if args.resume:
+        from dr3_tpu.io.checkpoint import load_vo
+
+        load_vo(args.resume, vo)
+
+    os.makedirs(args.out, exist_ok=True)
+    for i, frame in enumerate(seq):
+        if args.max_frames and i >= args.max_frames:
+            break
+        vo.process(frame)
+        s = vo.stats[-1]
+        print(f"[{i:05d}] {s.stage:<10} tracked={s.n_tracked:4d} "
+              f"inliers={s.n_inliers:4d} kf={int(s.is_keyframe)} "
+              f"map={s.n_map_points}", flush=True)
+        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            from dr3_tpu.io.checkpoint import save_vo
+
+            save_vo(os.path.join(args.out, "checkpoint"), vo)
+
+    print(vo.report())
+
+    # trajectory in TUM format (timestamp tx ty tz qx qy qz qw)
+    traj_path = os.path.join(args.out, "trajectory.txt")
+    with open(traj_path, "w") as f:
+        from dr3_tpu.geometry.lie import matrix_to_quat
+        import jax.numpy as jnp
+
+        times = seq.times if seq.times is not None else np.arange(len(vo.trajectory))
+        for t, T in zip(times, vo.trajectory):
+            R = T[:3, :3]
+            c = -R.T @ T[:3, 3]
+            q = np.asarray(matrix_to_quat(jnp.asarray(R.T)))  # world->cam inv
+            f.write(f"{t:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                    f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
+    print("wrote", traj_path)
+
+    from dr3_tpu.viz.draw3d import render_vo
+
+    png = render_vo(vo, os.path.join(args.out, "slam_map.png"))
+    print("wrote", png)
+
+    from dr3_tpu.io.checkpoint import save_vo
+
+    save_vo(os.path.join(args.out, "final"), vo)
+    print("wrote", os.path.join(args.out, "final.npz"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
