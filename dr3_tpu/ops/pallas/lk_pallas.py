@@ -40,7 +40,7 @@ _ROWS = 32         # aligned region rows loaded per access (8 | _ROWS)
 _LANES = 256       # aligned region lanes loaded per access (128 | _LANES)
 
 
-def _select_window(region, ry, rx, size):
+def _select_window_matmul(region, ry, rx, size):
     """Extract region[ry:ry+size, rx:rx+size] for *dynamic* in-tile
     residuals ry in [0,8), rx in [0,128) via one-hot selection matmuls."""
     rows_idx = jax.lax.broadcasted_iota(jnp.int32, (size, _ROWS), 1)
@@ -55,91 +55,121 @@ def _select_window(region, ry, rx, size):
                                preferred_element_type=jnp.float32)
 
 
-def _aligned_window(img_ref, y0, x0, size):
+def _select_window_roll(region, ry, rx, size):
+    """Same extraction with pure VPU ops: the 8 possible sublane residuals
+    resolve with an unrolled masked sum of static slices; the lane residual
+    resolves with one dynamic lane rotate (tpu.dynamic_rotate)."""
+    rows = jnp.zeros((size, _LANES), region.dtype)
+    for k in range(8):
+        rows = rows + jnp.where(ry == k, 1.0, 0.0) * region[k:k + size, :]
+    rolled = pltpu.roll(rows, -rx, axis=1)
+    return rolled[:, :size]
+
+
+def _aligned_window(img_ref, y0, x0, size, variant: str):
     """Load the window img[y0:y0+size, x0:x0+size] at arbitrary integer
-    (y0, x0) using an aligned vector load + selection matmuls."""
+    (y0, x0) using an aligned vector load + in-register selection."""
     y8 = pl.multiple_of((y0 // 8) * 8, 8)
     x128 = pl.multiple_of((x0 // 128) * 128, 128)
     region = img_ref[pl.ds(y8, _ROWS), pl.ds(x128, _LANES)]
-    return _select_window(region, y0 - y8, x0 - x128, size)
+    if variant == "roll":
+        return _select_window_roll(region, y0 - y8, x0 - x128, size)
+    return _select_window_matmul(region, y0 - y8, x0 - x128, size)
+
+
+def _bil(reg, off_y, off_x, fy_, fx_, size):
+    a = reg[off_y:off_y + size, off_x:off_x + size]
+    b = reg[off_y:off_y + size, off_x + 1:off_x + size + 1]
+    c = reg[off_y + 1:off_y + size + 1, off_x:off_x + size]
+    d = reg[off_y + 1:off_y + size + 1, off_x + 1:off_x + size + 1]
+    return ((1 - fy_) * (1 - fx_) * a + (1 - fy_) * fx_ * b
+            + fy_ * (1 - fx_) * c + fy_ * fx_ * d)
 
 
 def _lk_kernel(meta_ref, img_prev_ref, img_next_ref, pos_ref, ok_ref, err_ref,
-               *, half: int, iters: int, min_eig: float):
-    """One grid step = one track; coordinates are in *padded* image space.
-    meta_ref (SMEM) rows: [px, py, gx, gy] at this level's scale."""
-    i = pl.program_id(0)
+               *, half: int, iters: int, min_eig: float, variant: str,
+               batch: int):
+    """One grid step = ``batch`` tracks whose GN chains share one loop, so
+    the per-iteration loads of independent tracks interleave and hide each
+    other's latency. Coordinates are in *padded* image space. meta_ref
+    (SMEM) rows: [px, py, gx, gy] at this level's scale."""
+    step = pl.program_id(0)
     W = 2 * half + 1
     RT = W + 3  # template window incl. gradient + bilinear margins
 
-    px = meta_ref[i, 0]
-    py = meta_ref[i, 1]
-    bx = jnp.floor(px).astype(jnp.int32) - half - 1
-    by = jnp.floor(py).astype(jnp.int32) - half - 1
-    fx = px - jnp.floor(px)
-    fy = py - jnp.floor(py)
-
-    region = _aligned_window(img_prev_ref, by, bx, RT)
-
-    def bil(reg, off_y, off_x, fy_, fx_, size):
-        a = reg[off_y:off_y + size, off_x:off_x + size]
-        b = reg[off_y:off_y + size, off_x + 1:off_x + size + 1]
-        c = reg[off_y + 1:off_y + size + 1, off_x:off_x + size]
-        d = reg[off_y + 1:off_y + size + 1, off_x + 1:off_x + size + 1]
-        return ((1 - fy_) * (1 - fx_) * a + (1 - fy_) * fx_ * b
-                + fy_ * (1 - fx_) * c + fy_ * fx_ * d)
-
-    T = bil(region, 1, 1, fy, fx, W)
-    gx = (bil(region, 1, 2, fy, fx, W) - bil(region, 1, 0, fy, fx, W)) * 0.5
-    gy = (bil(region, 2, 1, fy, fx, W) - bil(region, 0, 1, fy, fx, W)) * 0.5
-
-    gxx = jnp.sum(gx * gx)
-    gxy = jnp.sum(gx * gy)
-    gyy = jnp.sum(gy * gy)
-    det = gxx * gyy - gxy * gxy
-    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    tr = gxx + gyy
-    n_px = float(W * W)
-    eig_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / n_px
-    conditioned = eig_min > (min_eig / (255.0 ** 2))
-
-    def load_target(cx, cy):
-        tbx = jnp.floor(cx).astype(jnp.int32) - half
-        tby = jnp.floor(cy).astype(jnp.int32) - half
-        tfx = cx - jnp.floor(cx)
-        tfy = cy - jnp.floor(cy)
-        win = _aligned_window(img_next_ref, tby, tbx, W + 1)
-        return bil(win, 0, 0, tfy, tfx, W)
-
-    # every aligned load must stay inside the padded image even when a GN
-    # step diverges — clamp the iterate after every update (a clamped-out
-    # track reads replicated border pixels and fails the ok gate later)
     h_pad, w_pad = img_next_ref.shape
     lo_x = float(half + 1)
     lo_y = float(half + 1)
     hi_x = float(w_pad - _LANES + half)
     hi_y = float(h_pad - _ROWS + half)
 
+    # per-track template setup (straight-line; interleaves across the batch)
+    Ts, gxs, gys, csts, conds, inits = [], [], [], [], [], []
+    for j in range(batch):
+        i = step * batch + j
+        px = meta_ref[i, 0]
+        py = meta_ref[i, 1]
+        bx = jnp.floor(px).astype(jnp.int32) - half - 1
+        by = jnp.floor(py).astype(jnp.int32) - half - 1
+        fx = px - jnp.floor(px)
+        fy = py - jnp.floor(py)
+        region = _aligned_window(img_prev_ref, by, bx, RT, variant)
+        T = _bil(region, 1, 1, fy, fx, W)
+        gx = (_bil(region, 1, 2, fy, fx, W) - _bil(region, 1, 0, fy, fx, W)) * 0.5
+        gy = (_bil(region, 2, 1, fy, fx, W) - _bil(region, 0, 1, fy, fx, W)) * 0.5
+        gxx = jnp.sum(gx * gx)
+        gxy = jnp.sum(gx * gy)
+        gyy = jnp.sum(gy * gy)
+        det = gxx * gyy - gxy * gxy
+        det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        tr = gxx + gyy
+        n_px = float(W * W)
+        eig_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / n_px
+        Ts.append(T)
+        gxs.append(gx)
+        gys.append(gy)
+        csts.append((gxx, gxy, gyy, det_safe))
+        conds.append(eig_min > (min_eig / (255.0 ** 2)))
+        inits.append((jnp.clip(meta_ref[i, 2], lo_x, hi_x),
+                      jnp.clip(meta_ref[i, 3], lo_y, hi_y)))
+
+    def load_target(cx, cy):
+        tbx = jnp.floor(cx).astype(jnp.int32) - half
+        tby = jnp.floor(cy).astype(jnp.int32) - half
+        tfx = cx - jnp.floor(cx)
+        tfy = cy - jnp.floor(cy)
+        win = _aligned_window(img_next_ref, tby, tbx, W + 1, variant)
+        return _bil(win, 0, 0, tfy, tfx, W)
+
+    # every aligned load must stay inside the padded image even when a GN
+    # step diverges — clamp iterates after every update (a clamped-out
+    # track reads replicated border pixels and fails the ok gate later)
     def body(_, state):
-        cx, cy = state
+        out = []
+        for j in range(batch):
+            cx, cy = state[2 * j], state[2 * j + 1]
+            I = load_target(cx, cy)
+            r = I - Ts[j]
+            bx_ = jnp.sum(r * gxs[j])
+            by_ = jnp.sum(r * gys[j])
+            gxx, gxy, gyy, det_safe = csts[j]
+            dx = (gyy * bx_ - gxy * by_) / det_safe
+            dy = (gxx * by_ - gxy * bx_) / det_safe
+            out.append(jnp.clip(cx - dx, lo_x, hi_x))
+            out.append(jnp.clip(cy - dy, lo_y, hi_y))
+        return tuple(out)
+
+    state0 = tuple(v for pair in inits for v in pair)
+    state = jax.lax.fori_loop(0, iters, body, state0)
+
+    for j in range(batch):
+        i = step * batch + j
+        cx, cy = state[2 * j], state[2 * j + 1]
         I = load_target(cx, cy)
-        r = I - T
-        bx_ = jnp.sum(r * gx)
-        by_ = jnp.sum(r * gy)
-        dx = (gyy * bx_ - gxy * by_) / det_safe
-        dy = (gxx * by_ - gxy * bx_) / det_safe
-        return (jnp.clip(cx - dx, lo_x, hi_x), jnp.clip(cy - dy, lo_y, hi_y))
-
-    cx0 = jnp.clip(meta_ref[i, 2], lo_x, hi_x)
-    cy0 = jnp.clip(meta_ref[i, 3], lo_y, hi_y)
-    cx, cy = jax.lax.fori_loop(0, iters, body, (cx0, cy0))
-
-    I = load_target(cx, cy)
-    err = jnp.mean(jnp.abs(I - T)) * 255.0
-
-    pos_ref[pl.ds(i, 1), :] = jnp.stack([cx, cy]).reshape(1, 2)
-    ok_ref[pl.ds(i, 1), :] = conditioned.astype(jnp.float32).reshape(1, 1)
-    err_ref[pl.ds(i, 1), :] = err.reshape(1, 1)
+        err = jnp.mean(jnp.abs(I - Ts[j])) * 255.0
+        pos_ref[pl.ds(i, 1), :] = jnp.stack([cx, cy]).reshape(1, 2)
+        ok_ref[pl.ds(i, 1), :] = conds[j].astype(jnp.float32).reshape(1, 1)
+        err_ref[pl.ds(i, 1), :] = err.reshape(1, 1)
 
 
 def _is_tpu() -> bool:
@@ -163,10 +193,11 @@ def _pad_image(img):
     return jnp.pad(img, ((PAD, ph - h - PAD), (PAD, pw - w - PAD)), mode="edge")
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def track_level_pallas(img_prev, img_next, pts_prev, guess,
                        half_window: int = 7, iters: int = 10,
-                       min_eig: float = 1e-4, interpret: bool = False):
+                       min_eig: float = 1e-4, interpret: bool = False,
+                       variant: str = "roll"):
     """Pallas counterpart of ops.lk.track_level (inverse-compositional GN).
 
     pts_prev/guess [N, 2] at this level's scale. Returns (pos, ok, err).
@@ -174,6 +205,8 @@ def track_level_pallas(img_prev, img_next, pts_prev, guess,
     assert half_window + 2 <= PAD, "half_window too large for padding"
     n = pts_prev.shape[0]
     h, w = img_prev.shape
+    batch = 4  # tracks per grid step (independent chains hide latency)
+    n_pad = _round_up(n, batch)
 
     ip = _pad_image(img_prev)
     inx = _pad_image(img_next)
@@ -182,33 +215,38 @@ def track_level_pallas(img_prev, img_next, pts_prev, guess,
     pts_pad = jnp.clip(pts_prev + PAD, float(PAD), max_xy)
     guess_pad = jnp.clip(guess + PAD, float(PAD), max_xy)
     meta = jnp.concatenate([pts_pad, guess_pad], axis=-1)  # [N, 4]
+    if n_pad != n:
+        filler = jnp.full((n_pad - n, 4), float(PAD + half_window + 2), meta.dtype)
+        meta = jnp.concatenate([meta, filler], axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n,),
+        grid=(n_pad // batch,),
         in_specs=[
             pl.BlockSpec(ip.shape, lambda i, m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(inx.shape, lambda i, m: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((n, 2), lambda i, m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda i, m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda i, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 2), lambda i, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 1), lambda i, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 1), lambda i, m: (0, 0), memory_space=pltpu.VMEM),
         ),
     )
     kernel = functools.partial(_lk_kernel, half=half_window, iters=iters,
-                               min_eig=min_eig)
+                               min_eig=min_eig, variant=variant, batch=batch)
     pos, ok, err = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n, 2), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ),
         interpret=interpret,
     )(meta, ip, inx)
-    pos = pos - PAD
+    pos = pos[:n] - PAD
+    ok = ok[:n]
+    err = err[:n]
     center_in = (pos[:, 0] >= 0) & (pos[:, 1] >= 0) & \
         (pos[:, 0] <= w - 1) & (pos[:, 1] <= h - 1)
     return pos, (ok[:, 0] > 0.5) & center_in, err[:, 0]
@@ -219,7 +257,8 @@ def track_pyramid_pallas(pyr_prev: List[jnp.ndarray], pyr_next: List[jnp.ndarray
                          init: jnp.ndarray | None = None,
                          half_window: int = 7, iters: int = 10,
                          eps: float = 1e-2, max_err: float = 40.0,
-                         interpret: bool | None = None) -> TrackResult:
+                         interpret: bool | None = None,
+                         variant: str = "roll") -> TrackResult:
     """Drop-in replacement for ops.lk.track_pyramid using the TPU kernel.
 
     ``interpret=None`` auto-selects: compiled on TPU, interpreter elsewhere
@@ -235,7 +274,7 @@ def track_pyramid_pallas(pyr_prev: List[jnp.ndarray], pyr_next: List[jnp.ndarray
         pts_l = pts / (2.0 ** lvl)
         pos, ok, err = track_level_pallas(pyr_prev[lvl], pyr_next[lvl], pts_l,
                                           guess, half_window, iters, 1e-4,
-                                          interpret)
+                                          interpret, variant)
         ok_all = ok_all & ok
         guess = pos * 2.0 if lvl > 0 else pos
     ok_final = ok_all & valid & (err < max_err)

@@ -73,6 +73,25 @@ def _track(pyr_prev, pyr_cur, tracks: TrackState, cfg: Config):
                            age=tracks.age + 1), res
 
 
+@functools.partial(jax.jit, static_argnums=(7,))
+def _sparse_align_step(pyr_prev, pyr_cur, tracks: TrackState, map_xyz,
+                       map_valid, T_prev: SE3, cam: Pinhole, cfg: Config):
+    from dr3_tpu.ops.sparse_align import sparse_align
+
+    lvl = min(cfg.align_level, len(pyr_prev) - 1)
+    has_pt = tracks.valid & (tracks.point >= 0)
+    pt_idx = jnp.maximum(tracks.point, 0)
+    pts = map_xyz[pt_idx]
+    use = has_pt & map_valid[pt_idx]
+    res = sparse_align(pyr_prev[lvl], pyr_cur[lvl], T_prev, T_prev, cam,
+                       pts, use, level=lvl, half_patch=cfg.align_half_patch,
+                       iters=cfg.align_iters)
+    # fall back to the constant-pose guess when too few features contribute
+    ok = res.n_used >= 20
+    return SE3(jnp.where(ok, res.T.wxyz, T_prev.wxyz),
+               jnp.where(ok, res.T.t, T_prev.t))
+
+
 @functools.partial(jax.jit, static_argnums=(5,))
 def _pose_optimize(tracks: TrackState, map_xyz, map_valid, T_guess: SE3,
                    cam: Pinhole, cfg: Config):
@@ -444,6 +463,14 @@ class MonoVO:
 
     def _process_general(self, pyr):
         cfg = self.cfg
+        if cfg.use_sparse_align:
+            # SVO 'sparse_img_align': direct coarse-level photometric pose
+            # tracking against the previous frame, seeding LK + pose GN
+            self.monitor.tic("sparse_img_align")
+            self.T_cur = _sparse_align_step(self.pyr_prev, pyr, self.tracks,
+                                            self.map.xyz, self.map.valid,
+                                            self.T_cur, self.cam, cfg)
+            self.monitor.toc("sparse_img_align", block=self.T_cur.t)
         self.monitor.tic("klt")
         self.tracks, res = _track(self.pyr_prev, pyr, self.tracks, cfg)
         self.monitor.toc("klt", block=res.pos)

@@ -45,6 +45,14 @@ class Config:
 
     # --- FAST detector ---
     fast_threshold: float = 10.0    # intensity delta for FAST-10 arc test
+                                    # (reference hardcodes 20, features.cpp:59;
+                                    # 10 yields denser KITTI coverage)
+
+    # --- sparse image alignment (SVO 'sparse_img_align' stage) ---
+    use_sparse_align: bool = False  # direct coarse-level pose pre-tracking
+    align_level: int = 2
+    align_half_patch: int = 2
+    align_iters: int = 12
 
     # --- static capacities (TPU shapes) ---
     max_corners: int = 2048         # per-frame corner capacity
