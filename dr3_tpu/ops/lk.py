@@ -143,6 +143,64 @@ def track_pyramid(
     return TrackResult(pos=guess, ok=ok_final, err=err)
 
 
+def extract_patches(img: jnp.ndarray, pts: jnp.ndarray, half: int) -> jnp.ndarray:
+    """[N, W, W] clamp-sampled patches around pts (template storage for
+    drift-free alignment)."""
+    coords = _patch_coords(pts, half)
+    vals, _ = bilinear_sample(img, coords, clamp=True)
+    return vals
+
+
+def align_to_templates(img: jnp.ndarray, templates: jnp.ndarray,
+                       pos: jnp.ndarray, valid: jnp.ndarray,
+                       iters: int = 8, eps: float = 1e-2,
+                       max_err: float = 30.0, max_shift: float = 4.0) -> TrackResult:
+    """Refine track positions against *stored* templates (SVO
+    'feature_align', the stage the reference names in its timers but never
+    built, src/handler.cpp:22-26): one inverse-compositional GN per track
+    with gradients from the template patch. Because templates are captured
+    at keyframes, per-frame tracking drift cannot accumulate between
+    keyframes. ``max_shift`` bounds the correction (a larger jump means the
+    frame-to-frame track already failed)."""
+    n, W, _ = templates.shape
+    half = (W - 1) // 2
+    gy_t, gx_t = jnp.gradient(templates, axis=(-2, -1))
+    gxx = jnp.sum(gx_t * gx_t, axis=(-2, -1))
+    gxy = jnp.sum(gx_t * gy_t, axis=(-2, -1))
+    gyy = jnp.sum(gy_t * gy_t, axis=(-2, -1))
+    det = gxx * gyy - gxy * gxy
+    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+
+    def body(_, state):
+        p, converged = state
+        coords = _patch_coords(p, half)
+        I, _ = bilinear_sample(img, coords, clamp=True)
+        r = I - templates
+        bx = jnp.sum(r * gx_t, axis=(-2, -1))
+        by = jnp.sum(r * gy_t, axis=(-2, -1))
+        dx = (gyy * bx - gxy * by) / det_safe
+        dy = (gxx * by - gxy * bx) / det_safe
+        delta = jnp.stack([dx, dy], axis=-1)
+        step = jnp.where(converged[:, None], 0.0, delta)
+        new_p = p - step
+        new_conv = converged | (jnp.sum(delta**2, axis=-1) < eps * eps)
+        return new_p, new_conv
+
+    pos_r, _ = jax.lax.fori_loop(0, iters, body,
+                                 (pos, jnp.zeros(n, bool)))
+    coords = _patch_coords(pos_r, half)
+    I, in_ok = bilinear_sample(img, coords, clamp=True)
+    err = jnp.mean(jnp.abs(I - templates), axis=(-2, -1)) * 255.0
+    shift = jnp.linalg.norm(pos_r - pos, axis=-1)
+    h, w = img.shape[-2:]
+    center_in = (pos_r[:, 0] >= 0) & (pos_r[:, 1] >= 0) & \
+        (pos_r[:, 0] <= w - 1) & (pos_r[:, 1] <= h - 1)
+    ok = valid & center_in & (err < max_err) & (shift <= max_shift)
+    # reject the refinement (keep LK position) when it failed
+    out_pos = jnp.where(ok[:, None], pos_r, pos)
+    return TrackResult(pos=out_pos, ok=ok, err=err)
+
+
 def track_pyramid_auto(pyr_prev, pyr_next, pts, valid, init=None,
                        half_window: int = 15, iters: int = 10,
                        eps: float = 1e-2, max_err: float = 40.0) -> TrackResult:

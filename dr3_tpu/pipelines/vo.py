@@ -69,7 +69,15 @@ def _track(pyr_prev, pyr_cur, tracks: TrackState, cfg: Config):
     res = lk.track_pyramid_auto(pyr_prev, pyr_cur, tracks.px, tracks.valid,
                                 half_window=cfg.klt_window // 2,
                                 iters=cfg.klt_iters, eps=cfg.klt_eps)
-    return tracks._replace(px=res.pos, valid=tracks.valid & res.ok,
+    pos = res.pos
+    if cfg.feature_align:
+        # drift-free refinement against keyframe templates (SVO
+        # 'feature_align'; templates refresh at keyframe creation)
+        ref = lk.align_to_templates(pyr_cur[0], tracks.ref_patch, pos,
+                                    res.ok & tracks.valid,
+                                    iters=cfg.feature_align_iters)
+        pos = ref.pos
+    return tracks._replace(px=pos, valid=tracks.valid & res.ok,
                            age=tracks.age + 1), res
 
 
@@ -216,6 +224,8 @@ def _spawn_tracks(pyr_cur, tracks: TrackState, cfg: Config, kf_slot,
             jnp.where(place.reshape(place.shape + (1,) * (arr.ndim - 1)),
                       val, arr[dest_safe]))
 
+    patch_half = (tracks.ref_patch.shape[-1] - 1) // 2
+    new_patches = lk.extract_patches(pyr_cur[0], feats.xy, patch_half)
     tr = tracks._replace(
         px=put(tracks.px, feats.xy),
         ref_px=put(tracks.ref_px, feats.xy),
@@ -223,6 +233,7 @@ def _spawn_tracks(pyr_cur, tracks: TrackState, cfg: Config, kf_slot,
         point=put(tracks.point, jnp.full_like(tracks.point, -1)),
         age=put(tracks.age, jnp.zeros_like(tracks.age)),
         valid=tracks.valid | (jnp.zeros_like(tracks.valid).at[dest_safe].set(place)),
+        ref_patch=put(tracks.ref_patch, new_patches),
     )
     return tr, jnp.sum(place.astype(jnp.int32))
 
@@ -323,7 +334,7 @@ class MonoVO:
         reference just nulls its initializer on failure,
         initialization.cpp:557-560)."""
         self.stage = Stage.FIRST
-        self.tracks = TrackState.empty(self.n_tracks)
+        self.tracks = TrackState.empty(self.n_tracks, self.cfg.feature_align_patch)
         self.kfs = KeyframeState.empty(self.cfg.max_keyframes, self.n_tracks)
         self.map = MapState.empty(self.cfg.max_points)
         self.T_cur = SE3.identity()
@@ -405,12 +416,14 @@ class MonoVO:
         if n < cfg.init_min_features:  # initialization.cpp:556-561
             self._log_stats("first", 0, 0, False)
             return
+        half = (self.cfg.feature_align_patch - 1) // 2
         self.tracks = TrackState(
             px=feats.xy, ref_px=feats.xy,
             ref_kf=jnp.zeros((self.n_tracks,), jnp.int32),
             point=jnp.full((self.n_tracks,), -1, jnp.int32),
             age=jnp.zeros((self.n_tracks,), jnp.int32),
-            valid=feats.valid)
+            valid=feats.valid,
+            ref_patch=lk.extract_patches(pyr[0], feats.xy, half))
         self.T_cur = SE3.identity()
         self._snapshot_kf(0, self.frame_idx)
         self.kf_count = 1
@@ -501,7 +514,7 @@ class MonoVO:
 
         is_kf = self._keyframe_needed(n_inliers)
         if is_kf:
-            self._make_keyframe()
+            self._make_keyframe(pyr)
         self._log_stats("general", n_tracked, n_inliers, is_kf)
 
     def _relocalize(self):
@@ -523,7 +536,7 @@ class MonoVO:
             return True
         return n_inliers < 0.5 * max(self.last_kf_tracked, 1)
 
-    def _make_keyframe(self):
+    def _make_keyframe(self, pyr):
         cfg = self.cfg
         slot = self._evict_oldest_if_full()
 
@@ -535,9 +548,17 @@ class MonoVO:
         self.monitor.toc("triangulate", block=self.map.xyz)
 
         self.monitor.tic("detect")
+        # spawn from the *current* frame's pyramid (positions live in the
+        # current frame) and refresh every surviving track's template
         self.tracks, n_spawned = _spawn_tracks(
-            self.pyr_prev, self.tracks, cfg, jnp.asarray(slot, jnp.int32),
+            pyr, self.tracks, cfg, jnp.asarray(slot, jnp.int32),
             (self.cam.height, self.cam.width))
+        if cfg.feature_align:
+            half = (self.tracks.ref_patch.shape[-1] - 1) // 2
+            fresh = lk.extract_patches(pyr[0], self.tracks.px, half)
+            self.tracks = self.tracks._replace(
+                ref_patch=jnp.where(self.tracks.valid[:, None, None], fresh,
+                                    self.tracks.ref_patch))
         self.monitor.toc("detect", block=self.tracks.px)
 
         self._snapshot_kf(slot, self.frame_idx)

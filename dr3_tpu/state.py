@@ -35,15 +35,18 @@ class TrackState(NamedTuple):
     point: jnp.ndarray     # [N] map point id, -1 = not yet triangulated
     age: jnp.ndarray       # [N] frames since spawn
     valid: jnp.ndarray     # [N] bool
+    ref_patch: jnp.ndarray # [N, A, A] template captured at the last keyframe
+                           # (drift-free 'feature_align' anchor)
 
     @classmethod
-    def empty(cls, n: int) -> "TrackState":
+    def empty(cls, n: int, patch: int = 9) -> "TrackState":
         return cls(px=jnp.zeros((n, 2), jnp.float32),
                    ref_px=jnp.zeros((n, 2), jnp.float32),
                    ref_kf=jnp.zeros((n,), jnp.int32),
                    point=jnp.full((n,), -1, jnp.int32),
                    age=jnp.zeros((n,), jnp.int32),
-                   valid=jnp.zeros((n,), bool))
+                   valid=jnp.zeros((n,), bool),
+                   ref_patch=jnp.zeros((n, patch, patch), jnp.float32))
 
     @property
     def n(self):

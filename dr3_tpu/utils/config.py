@@ -48,6 +48,11 @@ class Config:
                                     # (reference hardcodes 20, features.cpp:59;
                                     # 10 yields denser KITTI coverage)
 
+    # --- feature alignment (SVO 'feature_align' stage) ---
+    feature_align: bool = True      # refine tracks vs keyframe templates
+    feature_align_patch: int = 9    # template size (odd)
+    feature_align_iters: int = 8
+
     # --- sparse image alignment (SVO 'sparse_img_align' stage) ---
     use_sparse_align: bool = False  # direct coarse-level pose pre-tracking
     align_level: int = 2
