@@ -1,0 +1,264 @@
+"""Loop closure: place recognition, geometric verification, pose-graph
+correction.
+
+The reference has no loop closure at all — its backlog asks for exactly the
+backend half ("Add only KeyFrames for graph optimization", "Reduce the
+number of points for graph optimization", reference README.md:47-48), and
+its front half (place recognition) has no analogue. This module supplies
+both, TPU-natively:
+
+* **Place recognition**: every keyframe contributes a global descriptor —
+  a zero-mean/unit-norm low-resolution thumbnail of the coarsest pyramid
+  level. Querying the database is then one ``[C, D] @ [D]`` matvec (ZNCC
+  against every past keyframe at once, MXU-shaped), masked by temporal
+  separation. No bag-of-words tree: brute-force correlation over a few
+  hundred keyframes is microseconds on a TPU and has no host-side data
+  structure to maintain.
+* **Geometric verification**: ZNCC patch-descriptor matching
+  (ops/match.py) between the query keyframe's corners and the candidate's
+  stored corners, then PnP — motion-only Gauss-Newton (ba/schur_lm.py
+  ``pose_only_adjust``) of the current pose against the candidate's stored
+  3D points, initialized at the *candidate's* pose (place recognition
+  firing means the camera is physically near the old viewpoint, so the
+  candidate pose is a good basin even when odometry has drifted). Accepted
+  on a reprojection-inlier count.
+* **Correction**: a keyframe pose graph over the whole database —
+  sequential odometry edges between consecutive keyframes plus every
+  accepted loop edge — solved by the damped GN of ba/posegraph.py; map
+  points and the live window are remapped rigidly by the newest keyframe's
+  correction and the next local BA re-settles them.
+
+All state is fixed-capacity struct-of-arrays (append-only keyframe
+database); every step jits with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dr3_tpu.ba.posegraph import make_graph, optimize_pose_graph
+from dr3_tpu.ba.problem import make_problem
+from dr3_tpu.ba.schur_lm import pose_only_adjust
+from dr3_tpu.geometry.lie import SE3
+from dr3_tpu.models.camera import Pinhole
+from dr3_tpu.ops.match import match_descriptors, patch_descriptors
+from dr3_tpu.state import MapState, TrackState
+from dr3_tpu.utils.config import Config
+
+
+class LoopDatabase(NamedTuple):
+    """Append-only keyframe database (capacity C, N corner slots each)."""
+    thumb: jnp.ndarray     # [C, D] global descriptors (unit-norm)
+    kp_desc: jnp.ndarray   # [C, N, Dp] corner patch descriptors
+    kp_px: jnp.ndarray     # [C, N, 2] corner pixels
+    kp_xyz: jnp.ndarray    # [C, N, 3] landmark snapshot (world, at insert)
+    kp_has: jnp.ndarray    # [C, N] corner has a live landmark
+    wxyz: jnp.ndarray      # [C, 4] keyframe pose world->frame
+    t: jnp.ndarray         # [C, 3]
+    frame_id: jnp.ndarray  # [C] source frame index (-1 = empty)
+    valid: jnp.ndarray     # [C]
+
+    @classmethod
+    def empty(cls, c: int, n: int, thumb_dim: int, desc_dim: int) -> "LoopDatabase":
+        return cls(
+            thumb=jnp.zeros((c, thumb_dim), jnp.float32),
+            kp_desc=jnp.zeros((c, n, desc_dim), jnp.float32),
+            kp_px=jnp.zeros((c, n, 2), jnp.float32),
+            kp_xyz=jnp.zeros((c, n, 3), jnp.float32),
+            kp_has=jnp.zeros((c, n), bool),
+            wxyz=jnp.zeros((c, 4), jnp.float32).at[:, 0].set(1.0),
+            t=jnp.zeros((c, 3), jnp.float32),
+            frame_id=jnp.full((c,), -1, jnp.int32),
+            valid=jnp.zeros((c,), bool))
+
+    @property
+    def n(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+class LoopEntry(NamedTuple):
+    thumb: jnp.ndarray
+    kp_desc: jnp.ndarray
+    kp_px: jnp.ndarray
+    kp_xyz: jnp.ndarray
+    kp_has: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# descriptors
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def thumbnail_descriptor(img: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
+    """[th*tw] zero-mean unit-norm thumbnail of a (coarse pyramid) image."""
+    small = jax.image.resize(img, (th, tw), method="linear")
+    d = small.reshape(-1)
+    d = d - d.mean()
+    return d / jnp.maximum(jnp.linalg.norm(d), 1e-6)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def make_entry(pyr_coarse: jnp.ndarray, img0: jnp.ndarray, tracks: TrackState,
+               map_state: MapState, cfg: Config) -> LoopEntry:
+    """Build a database entry from the current keyframe's pyramid + tracks."""
+    thumb = thumbnail_descriptor(pyr_coarse, cfg.loop_thumb_h, cfg.loop_thumb_w)
+    desc = patch_descriptors(img0, tracks.px, tracks.valid,
+                             patch=cfg.loop_desc_patch,
+                             spread=cfg.loop_desc_spread)
+    pt = jnp.maximum(tracks.point, 0)
+    has = tracks.valid & (tracks.point >= 0) & map_state.valid[pt]
+    xyz = jnp.where(has[:, None], map_state.xyz[pt], 0.0)
+    return LoopEntry(thumb=thumb, kp_desc=desc, kp_px=tracks.px,
+                     kp_xyz=xyz, kp_has=has)
+
+
+@jax.jit
+def db_add(db: LoopDatabase, slot, entry: LoopEntry, wxyz, t,
+           frame_id) -> LoopDatabase:
+    return LoopDatabase(
+        thumb=db.thumb.at[slot].set(entry.thumb),
+        kp_desc=db.kp_desc.at[slot].set(entry.kp_desc),
+        kp_px=db.kp_px.at[slot].set(entry.kp_px),
+        kp_xyz=db.kp_xyz.at[slot].set(entry.kp_xyz),
+        kp_has=db.kp_has.at[slot].set(entry.kp_has),
+        wxyz=db.wxyz.at[slot].set(wxyz),
+        t=db.t.at[slot].set(t),
+        frame_id=db.frame_id.at[slot].set(frame_id),
+        valid=db.valid.at[slot].set(True))
+
+
+@jax.jit
+def db_query(db: LoopDatabase, thumb: jnp.ndarray, frame_id, min_gap,
+             min_score):
+    """Best loop candidate: argmax ZNCC over keyframes at least ``min_gap``
+    frames in the past. Returns (slot or -1, score)."""
+    sims = db.thumb @ thumb  # [C] — one matvec against the whole database
+    ok = db.valid & (frame_id - db.frame_id >= min_gap)
+    sims = jnp.where(ok, sims, -jnp.inf)
+    best = jnp.argmax(sims)
+    score = sims[best]
+    hit = score >= min_score
+    return jnp.where(hit, best.astype(jnp.int32), -1), score
+
+
+# ---------------------------------------------------------------------------
+# geometric verification (descriptor match + PnP)
+# ---------------------------------------------------------------------------
+
+class LoopVerify(NamedTuple):
+    ok: jnp.ndarray         # scalar bool
+    wxyz: jnp.ndarray       # fitted current pose (world->cur) [4]
+    t: jnp.ndarray          # [3]
+    n_matches: jnp.ndarray
+    n_inliers: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def verify_loop(db: LoopDatabase, cand, entry: LoopEntry, cam: Pinhole,
+                cfg: Config) -> LoopVerify:
+    """Match current corners to the candidate's, PnP the current pose
+    against the candidate's landmark snapshot, gate on reprojection
+    inliers. The PnP is Huber-robust GN initialized at the candidate pose
+    (the physically-near prior), so it is immune to odometry drift."""
+    cand = jnp.maximum(cand, 0)
+    valid1 = jnp.any(entry.kp_desc != 0.0, axis=-1)
+    m = match_descriptors(entry.kp_desc, db.kp_desc[cand], valid1,
+                          db.kp_has[cand],
+                          min_score=cfg.loop_match_min_score, ratio=0.97)
+    w = m.ok.astype(jnp.float32)
+    n_matches = jnp.sum(w).astype(jnp.int32)
+
+    intr = jnp.stack([cam.fx, cam.fy, cam.cx, cam.cy])
+    T0 = SE3(db.wxyz[cand], db.t[cand])
+    points = db.kp_xyz[cand]
+    prob = make_problem(
+        cams=SE3(T0.wxyz[None], T0.t[None]), points=points, intrinsics=intr,
+        obs_cam=jnp.zeros_like(m.idx2), obs_pt=m.idx2, obs_uv=entry.kp_px,
+        obs_w=w, cam_fixed=jnp.zeros((1,), bool))
+    res = pose_only_adjust(prob, cfg.loop_pnp_iters, cfg.ba_huber_delta)
+    T1 = SE3(res.problem.cam_wxyz[0], res.problem.cam_t[0])
+
+    # inlier gate + one clean re-fit on inliers only
+    def reproj_err(T: SE3):
+        xc = T.apply(points[m.idx2])
+        uv = cam.world2cam(xc)
+        return jnp.linalg.norm(uv - entry.kp_px, axis=-1), xc[..., 2]
+
+    err, z = reproj_err(T1)
+    inl = (w > 0) & (err < cfg.reproj_threshold) & (z > 1e-3)
+    prob2 = prob._replace(cam_wxyz=T1.wxyz[None], cam_t=T1.t[None],
+                          obs_w=inl.astype(jnp.float32))
+    res2 = pose_only_adjust(prob2, 5, cfg.ba_huber_delta)
+    T2 = SE3(res2.problem.cam_wxyz[0], res2.problem.cam_t[0])
+    err2, z2 = reproj_err(T2)
+    inl2 = (w > 0) & (err2 < cfg.reproj_threshold) & (z2 > 1e-3)
+    n_inl = jnp.sum(inl2.astype(jnp.int32))
+    ok = (n_inl >= cfg.loop_min_inliers) & \
+        jnp.all(jnp.isfinite(T2.wxyz)) & jnp.all(jnp.isfinite(T2.t))
+    return LoopVerify(ok=ok, wxyz=T2.wxyz, t=T2.t,
+                      n_matches=n_matches, n_inliers=n_inl)
+
+
+# ---------------------------------------------------------------------------
+# pose-graph correction over the database
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def optimize_db_graph(db: LoopDatabase, loop_i, loop_j, loop_wxyz, loop_t,
+                      loop_w, pgo_iters: int):
+    """Pose graph over all database keyframes: sequential odometry edges
+    (slot k -> k+1, database is append-only so slot order = time order)
+    plus accepted loop edges. Node 0 fixed (gauge). Returns the corrected
+    SE3 poses [C] and (initial, final) costs."""
+    C = db.valid.shape[0]
+    poses = SE3(db.wxyz, db.t)
+
+    seq_i = jnp.arange(C - 1, dtype=jnp.int32)
+    seq_j = seq_i + 1
+    seq_ok = db.valid[:-1] & db.valid[1:]
+    Ti = poses[seq_i]
+    Tj = poses[seq_j]
+    seq_rel = Ti @ Tj.inverse()   # measured T_ij from odometry
+    seq_w = seq_ok.astype(jnp.float32)
+
+    edge_i = jnp.concatenate([seq_i, loop_i])
+    edge_j = jnp.concatenate([seq_j, loop_j])
+    rel = SE3(jnp.concatenate([seq_rel.wxyz, loop_wxyz]),
+              jnp.concatenate([seq_rel.t, loop_t]))
+    w = jnp.concatenate([seq_w, loop_w])
+
+    fixed = (~db.valid) | (jnp.arange(C) == 0)
+    g = make_graph(poses, edge_i, edge_j, rel, weights=w, fixed=fixed)
+    return optimize_pose_graph(g, pgo_iters)
+
+
+@jax.jit
+def world_correction(T_old: SE3, T_new: SE3) -> SE3:
+    """Rigid map G with X_new = G·X_old such that the keyframe whose pose
+    changed T_old -> T_new sees identical pixels: G = T_new^-1 · T_old.
+    Poses transform as T' = T_old_pose · G^-1."""
+    return T_new.inverse() @ T_old
+
+
+@jax.jit
+def apply_correction_points(G: SE3, xyz: jnp.ndarray, valid) -> jnp.ndarray:
+    return jnp.where(valid[:, None], G.apply(xyz), xyz)
+
+
+@jax.jit
+def apply_correction_db(db: LoopDatabase, poses_new: SE3) -> LoopDatabase:
+    """Move every database entry to its PGO-corrected pose, transporting
+    each entry's landmark snapshot by that entry's own rigid correction
+    (so stored pose/landmark pairs stay reprojection-consistent)."""
+    T_old = SE3(db.wxyz, db.t)
+    G = poses_new.inverse() @ T_old                     # [C] world maps
+    xyz = SE3(G.wxyz[:, None], G.t[:, None]).apply(db.kp_xyz)
+    keep = db.valid
+    return db._replace(
+        wxyz=jnp.where(keep[:, None], poses_new.wxyz, db.wxyz),
+        t=jnp.where(keep[:, None], poses_new.t, db.t),
+        kp_xyz=jnp.where(keep[:, None, None], xyz, db.kp_xyz))

@@ -323,10 +323,12 @@ class MonoVO:
     def reset(self):
         self.frame_idx = -1
         self.trajectory: list[np.ndarray] = []   # T_f_w 4x4 per frame
+        self._traj_local: list[np.ndarray] = []  # pre-anchor local poses
         self.stats: list[FrameStats] = []
         self.T_anchor = SE3.identity()  # maps local frame -> world on re-init
         self.lost_count = 0
         self.n_relocalizations = 0
+        self.n_loop_closures = 0
         self._reset_init()
 
     def _reset_init(self):
@@ -342,6 +344,19 @@ class MonoVO:
         self.kf_count = 0
         self.point_cursor = 0
         self.last_kf_tracked = 0
+        # loop-closure state: the database lives in the *local* frame, so a
+        # re-bootstrap (new local frame) invalidates it
+        if self.cfg.loop_closure:
+            from dr3_tpu.pipelines import loop_closure as lc
+            self.loop_db = lc.LoopDatabase.empty(
+                self.cfg.loop_db_capacity, self.n_tracks,
+                self.cfg.loop_thumb_h * self.cfg.loop_thumb_w,
+                self.cfg.loop_desc_patch ** 2)
+        else:
+            self.loop_db = None
+        self.db_cursor = 0
+        self.loop_edges: list[tuple] = []  # (i_slot, j_slot, rel_wxyz, rel_t)
+        self.last_loop_kf = -10 ** 9
 
     # -- helpers ----------------------------------------------------------
     @property
@@ -405,6 +420,7 @@ class MonoVO:
         # set at the last relocalization (identity unless tracking was lost)
         T = np.array((self.T_cur @ self.T_anchor).matrix())
         self.trajectory.append(T)
+        self._traj_local.append(np.array(self.T_cur.matrix()))
         return T
 
     def _process_first(self, pyr):
@@ -528,13 +544,14 @@ class MonoVO:
         self._reset_init()
 
     def _keyframe_needed(self, n_inliers: int) -> bool:
-        if n_inliers < 15:
+        cfg = self.cfg
+        if n_inliers < cfg.kf_min_inliers:
             return True  # tracking nearly lost -> force keyframe/triangulation
         disp = jnp.linalg.norm(self.tracks.px - self.tracks.ref_px, axis=-1)
         med = float(jnp.nanmedian(jnp.where(self.tracks.valid, disp, jnp.nan)))
-        if np.isfinite(med) and med > 40.0:
+        if np.isfinite(med) and med > cfg.kf_disparity:
             return True
-        return n_inliers < 0.5 * max(self.last_kf_tracked, 1)
+        return n_inliers < cfg.kf_inlier_ratio * max(self.last_kf_tracked, 1)
 
     def _make_keyframe(self, pyr):
         cfg = self.cfg
@@ -566,6 +583,11 @@ class MonoVO:
         self.last_kf_tracked = int(jnp.sum(
             (self.tracks.valid & (self.tracks.point >= 0)).astype(jnp.int32)))
 
+        if cfg.loop_closure and self.loop_db is not None:
+            self.monitor.tic("loop_closure")
+            self._loop_step(pyr, slot)
+            self.monitor.toc("loop_closure")
+
         self.monitor.tic("local_BA")
         if self.mesh is not None:
             self.kfs, self.map, c0, c1 = _local_ba_distributed(
@@ -577,6 +599,111 @@ class MonoVO:
         # current pose = the just-optimized keyframe pose
         self.T_cur = SE3(self.kfs.wxyz[slot], self.kfs.t[slot])
 
+    # -- loop closure (pipelines/loop_closure.py) --------------------------
+    def _loop_step(self, pyr, kf_slot):
+        """At every new keyframe: add it to the loop database, query for a
+        revisit, geometrically verify, and on success correct the whole
+        trajectory through the keyframe pose graph."""
+        from dr3_tpu.pipelines import loop_closure as lc
+        cfg = self.cfg
+        if self.db_cursor >= cfg.loop_db_capacity:
+            return  # database full (append-only ring is a round-2 item)
+        entry = lc.make_entry(pyr[-1], pyr[0], self.tracks, self.map, cfg)
+        cand, _score = lc.db_query(
+            self.loop_db, entry.thumb, jnp.asarray(self.frame_idx, jnp.int32),
+            cfg.loop_min_gap_frames, cfg.loop_min_score)
+        my_slot = self.db_cursor
+        self.loop_db = lc.db_add(
+            self.loop_db, jnp.asarray(my_slot, jnp.int32), entry,
+            self.T_cur.wxyz, self.T_cur.t,
+            jnp.asarray(self.frame_idx, jnp.int32))
+        self.db_cursor += 1
+        if int(cand) < 0 or \
+                self.kf_count - self.last_loop_kf < cfg.loop_cooldown_kfs or \
+                len(self.loop_edges) >= cfg.loop_max_edges:
+            return
+        ver = lc.verify_loop(self.loop_db, cand, entry, self.cam, cfg)
+        if bool(ver.ok):
+            self._close_loop(my_slot, int(cand), ver)
+
+    def _close_loop(self, my_slot: int, cand: int, ver):
+        from dr3_tpu.pipelines import loop_closure as lc
+        cfg = self.cfg
+        db = self.loop_db
+        T_fit = SE3(ver.wxyz, ver.t)
+        T_cand = SE3(db.wxyz[cand], db.t[cand])
+        rel = T_fit @ T_cand.inverse()   # measured T_ij, i=cur j=cand
+        self.loop_edges.append((my_slot, cand,
+                                np.array(rel.wxyz), np.array(rel.t)))
+
+        E = cfg.loop_max_edges
+        li = np.zeros(E, np.int32)
+        lj = np.zeros(E, np.int32)
+        lw = np.zeros(E, np.float32)
+        lq = np.zeros((E, 4), np.float32)
+        lq[:, 0] = 1.0
+        lt = np.zeros((E, 3), np.float32)
+        for e, (i, j, q, t) in enumerate(self.loop_edges):
+            li[e], lj[e], lq[e], lt[e], lw[e] = i, j, q, t, cfg.loop_edge_weight
+
+        old_fid = np.array(db.frame_id)
+        old_valid = np.array(db.valid)
+        old_mats = np.array(SE3(db.wxyz, db.t).matrix())
+        poses_new, _c0, _c1 = lc.optimize_db_graph(
+            db, jnp.asarray(li), jnp.asarray(lj), jnp.asarray(lq),
+            jnp.asarray(lt), jnp.asarray(lw), cfg.loop_pgo_iters)
+
+        # rigid world remap from the current keyframe's correction; the next
+        # local BA re-settles the window on top of it
+        G = lc.world_correction(
+            SE3(db.wxyz[my_slot], db.t[my_slot]), poses_new[my_slot])
+        self.map = self.map._replace(
+            xyz=lc.apply_correction_points(G, self.map.xyz, self.map.valid))
+
+        # window keyframes: exact PGO pose where the keyframe is in the
+        # database (all are, normally), rigid G fallback otherwise
+        slot_of_fid = {int(f): k for k, f in enumerate(old_fid)
+                       if old_valid[k]}
+        new_mats = np.array(poses_new.matrix())
+        kf_w = np.array(self.kfs.wxyz)
+        kf_t = np.array(self.kfs.t)
+        Ginv = np.array(G.inverse().matrix())
+        for s in range(kf_w.shape[0]):
+            if not bool(self.kfs.valid[s]):
+                continue
+            fid = int(self.kfs.frame_id[s])
+            if fid in slot_of_fid:
+                M = new_mats[slot_of_fid[fid]]
+            else:
+                M = np.array(SE3(self.kfs.wxyz[s], self.kfs.t[s]).matrix()) @ Ginv
+            P = SE3.from_matrix(jnp.asarray(M))
+            kf_w[s] = np.array(P.wxyz)
+            kf_t[s] = np.array(P.t)
+        self.kfs = self.kfs._replace(wxyz=jnp.asarray(kf_w),
+                                     t=jnp.asarray(kf_t))
+        self.T_cur = poses_new[my_slot]
+        self._correct_trajectory(old_fid, old_valid, old_mats, new_mats)
+        self.loop_db = lc.apply_correction_db(db, poses_new)
+        self.last_loop_kf = self.kf_count
+        self.n_loop_closures += 1
+
+    def _correct_trajectory(self, fids, valid, old_mats, new_mats):
+        """Rewrite past trajectory entries: every frame between keyframe k
+        and k+1 inherits k's correction Ginv_k = T_old_k^-1 · T_new_k
+        (applied on the right of its local pose). The database resets at
+        relocalization, so one anchor covers all corrected frames."""
+        anchor = np.array(self.T_anchor.matrix())
+        ks = [k for k in range(len(fids)) if valid[k]]
+        n_frames = len(self._traj_local)
+        for idx, k in enumerate(ks):
+            lo = int(fids[k])
+            hi = int(fids[ks[idx + 1]]) if idx + 1 < len(ks) else n_frames
+            Ginv = np.linalg.inv(old_mats[k]) @ new_mats[k]
+            for f in range(lo, min(hi, n_frames)):
+                Tl = self._traj_local[f] @ Ginv
+                self._traj_local[f] = Tl
+                self.trajectory[f] = Tl @ anchor
+
     def _log_stats(self, stage, n_tracked, n_inliers, is_kf):
         self.stats.append(FrameStats(self.frame_idx, stage, n_tracked,
                                      n_inliers, is_kf, int(self.map.n)))
@@ -587,7 +714,8 @@ class MonoVO:
             n_frames=self.frame_idx + 1,
             extra={"keyframes": self.kf_count, "map_points": int(self.map.n),
                    "observations": int(self.map.n_observations(self.kfs)),
-                   "relocalizations": self.n_relocalizations})
+                   "relocalizations": self.n_relocalizations,
+                   "loop_closures": self.n_loop_closures})
 
     def positions(self) -> np.ndarray:
         """[T, 3] camera centers in world (pos() parity, frame.hpp:82)."""

@@ -59,6 +59,29 @@ class Config:
     align_half_patch: int = 2
     align_iters: int = 12
 
+    # --- keyframe policy ---
+    kf_disparity: float = 40.0       # median px disparity vs originating kf
+    kf_min_inliers: int = 15         # below this a keyframe is forced
+    kf_inlier_ratio: float = 0.5     # vs tracked count at the last keyframe
+
+    # --- loop closure (beyond reference; backend half = README.md:47-48
+    #     "KeyFrames for graph optimization" TODO) ---
+    loop_closure: bool = False       # enable place recognition + closure
+    loop_db_capacity: int = 256      # keyframe database size (append-only)
+    loop_thumb_h: int = 12           # global-descriptor thumbnail rows
+    loop_thumb_w: int = 40           # ... cols (ZNCC over [C, h*w] matmul)
+    loop_min_gap_frames: int = 100   # min temporal separation of candidates
+    loop_min_score: float = 0.80     # thumbnail ZNCC acceptance gate
+    loop_desc_patch: int = 8         # corner patch descriptor side
+    loop_desc_spread: float = 3.0    # px between descriptor samples
+    loop_match_min_score: float = 0.70
+    loop_min_inliers: int = 25       # PnP reprojection inliers to accept
+    loop_pnp_iters: int = 15
+    loop_max_edges: int = 16         # loop-edge capacity in the pose graph
+    loop_edge_weight: float = 5.0    # loop edges vs odometry edges in PGO
+    loop_cooldown_kfs: int = 5       # keyframes between closures
+    loop_pgo_iters: int = 12
+
     # --- static capacities (TPU shapes) ---
     max_corners: int = 2048         # per-frame corner capacity
     max_points: int = 16384         # map landmark capacity

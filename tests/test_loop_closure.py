@@ -1,0 +1,211 @@
+"""Loop closure: place recognition, PnP verification, pose-graph correction,
+and the full VO integration on an out-and-back rendered trajectory.
+
+The reference has no loop closure (SURVEY §2: its README asks for the
+pose-graph backend, reference README.md:47-48); these tests are the oracle
+for the new subsystem.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dr3_tpu.geometry.lie import SE3
+from dr3_tpu.models.camera import Pinhole
+from dr3_tpu.ops.match import patch_descriptors
+from dr3_tpu.pipelines import loop_closure as lc
+from dr3_tpu.utils.config import Config
+from tests.synth import make_textures, render_scene
+
+
+def _cam():
+    return Pinhole.create(320, 240, 280.0, 280.0, 160.0, 120.0)
+
+
+def _lateral_pose(x):
+    """World->cam pose of a camera at center (x, 0, 0) looking down +z."""
+    return SE3.exp(jnp.asarray([-x, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32))
+
+
+def test_thumbnail_query_finds_revisit(rng):
+    cam = _cam()
+    tn, tf = make_textures(rng)
+    xs = [0.0, 0.5, 1.0, 1.5, 2.0]
+    imgs = [render_scene(cam, _lateral_pose(x), tn, tf) for x in xs]
+    cfg = Config()
+    D = cfg.loop_thumb_h * cfg.loop_thumb_w
+
+    db = lc.LoopDatabase.empty(8, 4, D, cfg.loop_desc_patch ** 2)
+    dummy = lc.LoopEntry(
+        thumb=jnp.zeros(D), kp_desc=jnp.zeros((4, cfg.loop_desc_patch ** 2)),
+        kp_px=jnp.zeros((4, 2)), kp_xyz=jnp.zeros((4, 3)),
+        kp_has=jnp.zeros(4, bool))
+    for k, im in enumerate(imgs):
+        th = lc.thumbnail_descriptor(jnp.asarray(im), cfg.loop_thumb_h,
+                                     cfg.loop_thumb_w)
+        db = lc.db_add(db, jnp.asarray(k, jnp.int32),
+                       dummy._replace(thumb=th), SE3.identity().wxyz,
+                       SE3.identity().t, jnp.asarray(10 * k, jnp.int32))
+
+    # revisit of view 1 (x=0.5) with noise, queried far in the future
+    q = render_scene(cam, _lateral_pose(0.5), tn, tf)
+    q = q + rng.normal(0, 0.02, q.shape).astype(np.float32)
+    th_q = lc.thumbnail_descriptor(jnp.asarray(q), cfg.loop_thumb_h,
+                                   cfg.loop_thumb_w)
+    cand, score = lc.db_query(db, th_q, jnp.asarray(1000, jnp.int32), 50, 0.8)
+    assert int(cand) == 1
+    assert float(score) > 0.9
+
+    # temporal-separation mask: same query issued right after frame 40 may
+    # not return the recent entries (ids 30/40 are within the 50-frame gap)
+    cand2, _ = lc.db_query(db, th_q, jnp.asarray(45, jnp.int32), 50, 0.0)
+    assert int(cand2) not in (3, 4)
+
+
+def test_verify_loop_recovers_relative_pose(rng):
+    """PnP verification recovers the true current pose from the candidate's
+    landmark snapshot, starting at the candidate pose (drift-immune)."""
+    cam = _cam()
+    tn, tf = make_textures(rng)
+    T_a = SE3.identity()
+    # true current pose: small offset + tiny yaw from the revisited place
+    T_b = SE3.exp(jnp.asarray([0.15, -0.05, 0.1, 0.01, 0.02, -0.01]))
+    img_a = render_scene(cam, T_a, tn, tf)
+    img_b = render_scene(cam, T_b, tn, tf)
+
+    # landmarks: back-project a pixel grid of view A onto the near plane
+    z = 6.0
+    us = np.linspace(40, 280, 12)
+    vs = np.linspace(40, 200, 10)
+    uu, vv = np.meshgrid(us, vs)
+    px_a = np.stack([uu.ravel(), vv.ravel()], -1).astype(np.float32)
+    xyz = np.stack([(px_a[:, 0] - 160.0) / 280.0 * z,
+                    (px_a[:, 1] - 120.0) / 280.0 * z,
+                    np.full(px_a.shape[0], z)], -1).astype(np.float32)
+    on_near = (np.abs(xyz[:, 0]) < 2.0) & (np.abs(xyz[:, 1]) < 1.4)
+
+    N = 128
+    cfg = Config(loop_min_inliers=20)
+
+    def pad(a, n=N):
+        out = np.zeros((n,) + a.shape[1:], a.dtype)
+        out[: a.shape[0]] = a
+        return jnp.asarray(out)
+
+    valid = pad(on_near.astype(bool))
+    xyz_p = pad(xyz)
+    px_a_p = pad(px_a)
+    desc_a = patch_descriptors(jnp.asarray(img_a), px_a_p, valid,
+                               patch=cfg.loop_desc_patch,
+                               spread=cfg.loop_desc_spread)
+
+    px_b = np.asarray(cam.world2cam(T_b.apply(jnp.asarray(xyz))))
+    in_b = (px_b[:, 0] > 10) & (px_b[:, 0] < 310) & \
+        (px_b[:, 1] > 10) & (px_b[:, 1] < 230)
+    valid_b = pad((on_near & in_b).astype(bool))
+    px_b_p = pad(px_b.astype(np.float32))
+    desc_b = patch_descriptors(jnp.asarray(img_b), px_b_p, valid_b,
+                               patch=cfg.loop_desc_patch,
+                               spread=cfg.loop_desc_spread)
+
+    D = cfg.loop_thumb_h * cfg.loop_thumb_w
+    db = lc.LoopDatabase.empty(4, N, D, cfg.loop_desc_patch ** 2)
+    entry_a = lc.LoopEntry(thumb=jnp.zeros(D), kp_desc=desc_a, kp_px=px_a_p,
+                           kp_xyz=xyz_p, kp_has=valid)
+    db = lc.db_add(db, jnp.asarray(0, jnp.int32), entry_a, T_a.wxyz, T_a.t,
+                   jnp.asarray(0, jnp.int32))
+
+    entry_b = lc.LoopEntry(thumb=jnp.zeros(D), kp_desc=desc_b, kp_px=px_b_p,
+                           kp_xyz=jnp.zeros((N, 3)), kp_has=valid_b)
+    ver = lc.verify_loop(db, jnp.asarray(0, jnp.int32), entry_b, cam, cfg)
+    assert bool(ver.ok), (int(ver.n_matches), int(ver.n_inliers))
+    T_fit = SE3(ver.wxyz, ver.t)
+    dt = np.asarray(T_fit.t - T_b.t)
+    dq = (T_fit.inverse() @ T_b).log()
+    assert np.linalg.norm(dt) < 0.02, dt
+    assert float(jnp.linalg.norm(dq)) < 0.02
+
+
+def test_db_graph_corrects_injected_drift():
+    """Pose graph over the database: a drifted straight-line chain with one
+    exact loop edge snaps the endpoint back to truth."""
+    C = 8
+    cfg = Config()
+    D = cfg.loop_thumb_h * cfg.loop_thumb_w
+    db = lc.LoopDatabase.empty(C, 4, D, cfg.loop_desc_patch ** 2)
+
+    # truth: out-and-back along x, ending exactly where it started
+    xs_true = [0.0, 0.5, 1.0, 1.5, 1.0, 0.5, 0.0]
+    # odometry: each return step undershoots, accumulating endpoint drift
+    xs_odo = [0.0, 0.5, 1.0, 1.5, 1.08, 0.66, 0.24]
+    dummy = lc.LoopEntry(
+        thumb=jnp.zeros(D), kp_desc=jnp.zeros((4, cfg.loop_desc_patch ** 2)),
+        kp_px=jnp.zeros((4, 2)), kp_xyz=jnp.zeros((4, 3)),
+        kp_has=jnp.zeros(4, bool))
+    for k, x in enumerate(xs_odo):
+        T = _lateral_pose(x)
+        db = lc.db_add(db, jnp.asarray(k, jnp.int32), dummy, T.wxyz, T.t,
+                       jnp.asarray(k, jnp.int32))
+
+    # loop edge: node 6 revisits node 0's place exactly => rel = identity
+    E = 4
+    li = jnp.zeros(E, jnp.int32).at[0].set(6)
+    lj = jnp.zeros(E, jnp.int32)
+    lq = jnp.zeros((E, 4), jnp.float32).at[:, 0].set(1.0)
+    lt = jnp.zeros((E, 3), jnp.float32)
+    lw = jnp.zeros(E, jnp.float32).at[0].set(5.0)  # loop_edge_weight
+    poses, c0, c1 = lc.optimize_db_graph(db, li, lj, lq, lt, lw, 15)
+    assert float(c1) < float(c0)
+    centers = np.asarray(poses.center())
+    # endpoint pulled from 0.24 drift to ~0 (residual spreads over the
+    # odometry edges in proportion to the loop-edge weight)
+    assert abs(centers[6, 0]) < 0.02, centers[:, 0]
+    # the whole chain is smoothly corrected (monotone out, monotone back)
+    assert centers[3, 0] == pytest.approx(max(centers[:7, 0]), abs=0.2)
+
+
+@pytest.mark.slow
+def test_vo_loop_closure_out_and_back(rng):
+    """Full VO with loop closure on an out-and-back sweep: at least one
+    closure fires and the corrected trajectory is no worse than odometry."""
+    from dr3_tpu.pipelines.vo import MonoVO, Stage
+    from dr3_tpu.viz.ate import ate_rmse
+
+    cam = _cam()
+    tn, tf = make_textures(rng)
+    half = 16
+    xs = [0.09 * i for i in range(half)] + \
+        [0.09 * (half - 1 - i) for i in range(half)]
+    poses = [_lateral_pose(x) for x in xs]
+    frames = [render_scene(cam, T, tn, tf) for T in poses]
+
+    base = dict(init_min_features=60, init_min_tracked=60,
+                init_min_triangulated=30, init_min_disparity=2.0,
+                max_keyframes=16, kf_disparity=10.0)
+    cfg_loop = Config(**base, loop_closure=True, loop_db_capacity=32,
+                      loop_min_gap_frames=12, loop_min_score=0.6,
+                      loop_min_inliers=20, loop_cooldown_kfs=3,
+                      loop_max_edges=4)
+    vo = MonoVO(cam, cfg_loop)
+    for f in frames:
+        vo.process(f)
+    assert vo.stage is Stage.GENERAL
+    assert vo.n_loop_closures >= 1
+
+    gt = np.stack([np.asarray(p.center()) for p in poses])
+    est = vo.positions()
+    moving = np.nonzero(np.linalg.norm(est, axis=1) > 1e-9)[0]
+    i0 = moving[0] - 1
+    a_loop = ate_rmse(est[i0:], gt[i0:], with_scale=True)
+    traj_len = np.linalg.norm(np.diff(gt[i0:], axis=0), axis=1).sum()
+    assert np.isfinite(a_loop.rmse)
+    assert a_loop.rmse < 0.05 * traj_len, (a_loop.rmse, traj_len)
+
+    # closure must not corrupt the trajectory vs plain odometry
+    vo_odo = MonoVO(cam, Config(**base))
+    for f in frames:
+        vo_odo.process(f)
+    est_o = vo_odo.positions()
+    a_odo = ate_rmse(est_o[i0:], gt[i0:], with_scale=True)
+    assert a_loop.rmse < max(1.25 * a_odo.rmse, 0.01 * traj_len), \
+        (a_loop.rmse, a_odo.rmse)
