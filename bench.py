@@ -55,7 +55,9 @@ def main():
                map_xyz, map_valid, pose_wxyz, pose_t)
     jax.block_until_ready(out)
 
-    n_iters = int(os.environ.get("BENCH_FRAMES", "30"))
+    # enough async dispatches to amortize the remote-relay latency of the
+    # first few steps (30 iters measures pipeline fill, not throughput)
+    n_iters = int(os.environ.get("BENCH_FRAMES", "120"))
     t0 = time.perf_counter()
     px, valid = track_px, track_valid
     for i in range(n_iters):

@@ -56,6 +56,10 @@ class LoopDatabase(NamedTuple):
     kp_desc: jnp.ndarray   # [C, N, Dp] corner patch descriptors
     kp_px: jnp.ndarray     # [C, N, 2] corner pixels
     kp_xyz: jnp.ndarray    # [C, N, 3] landmark snapshot (world, at insert)
+    kp_point: jnp.ndarray  # [C, N] map point id (-1 = none) — makes the
+                           # database double as the global-BA observation
+                           # table (the reference's BAL layout,
+                           # src/optimizer.cpp:29-41)
     kp_has: jnp.ndarray    # [C, N] corner has a live landmark
     wxyz: jnp.ndarray      # [C, 4] keyframe pose world->frame
     t: jnp.ndarray         # [C, 3]
@@ -69,6 +73,7 @@ class LoopDatabase(NamedTuple):
             kp_desc=jnp.zeros((c, n, desc_dim), jnp.float32),
             kp_px=jnp.zeros((c, n, 2), jnp.float32),
             kp_xyz=jnp.zeros((c, n, 3), jnp.float32),
+            kp_point=jnp.full((c, n), -1, jnp.int32),
             kp_has=jnp.zeros((c, n), bool),
             wxyz=jnp.zeros((c, 4), jnp.float32).at[:, 0].set(1.0),
             t=jnp.zeros((c, 3), jnp.float32),
@@ -85,6 +90,7 @@ class LoopEntry(NamedTuple):
     kp_desc: jnp.ndarray
     kp_px: jnp.ndarray
     kp_xyz: jnp.ndarray
+    kp_point: jnp.ndarray
     kp_has: jnp.ndarray
 
 
@@ -113,7 +119,9 @@ def make_entry(pyr_coarse: jnp.ndarray, img0: jnp.ndarray, tracks: TrackState,
     has = tracks.valid & (tracks.point >= 0) & map_state.valid[pt]
     xyz = jnp.where(has[:, None], map_state.xyz[pt], 0.0)
     return LoopEntry(thumb=thumb, kp_desc=desc, kp_px=tracks.px,
-                     kp_xyz=xyz, kp_has=has)
+                     kp_xyz=xyz,
+                     kp_point=jnp.where(has, tracks.point, -1),
+                     kp_has=has)
 
 
 @jax.jit
@@ -124,6 +132,7 @@ def db_add(db: LoopDatabase, slot, entry: LoopEntry, wxyz, t,
         kp_desc=db.kp_desc.at[slot].set(entry.kp_desc),
         kp_px=db.kp_px.at[slot].set(entry.kp_px),
         kp_xyz=db.kp_xyz.at[slot].set(entry.kp_xyz),
+        kp_point=db.kp_point.at[slot].set(entry.kp_point),
         kp_has=db.kp_has.at[slot].set(entry.kp_has),
         wxyz=db.wxyz.at[slot].set(wxyz),
         t=db.t.at[slot].set(t),
@@ -201,6 +210,30 @@ def verify_loop(db: LoopDatabase, cand, entry: LoopEntry, cam: Pinhole,
         jnp.all(jnp.isfinite(T2.wxyz)) & jnp.all(jnp.isfinite(T2.t))
     return LoopVerify(ok=ok, wxyz=T2.wxyz, t=T2.t,
                       n_matches=n_matches, n_inliers=n_inl)
+
+
+# ---------------------------------------------------------------------------
+# global bundle adjustment over the database
+# ---------------------------------------------------------------------------
+
+def global_ba_problem(db: LoopDatabase, map_state: MapState, intr):
+    """Flatten the whole keyframe database into one BA problem — every
+    keyframe ever made vs the full map (the reference's global_BA input,
+    src/optimizer.cpp:6-81, which flattens its Map to exactly this BAL
+    layout; here the database already IS that layout). Gauge: the two
+    oldest keyframes are fixed (slots are time-ordered, append-only)."""
+    C, N = db.kp_point.shape
+    obs_cam = jnp.repeat(jnp.arange(C, dtype=jnp.int32), N)
+    obs_pt_raw = db.kp_point.reshape(-1)
+    obs_uv = db.kp_px.reshape(-1, 2)
+    pt = jnp.maximum(obs_pt_raw, 0)
+    w = ((obs_pt_raw >= 0)
+         & jnp.repeat(db.valid, N)
+         & map_state.valid[pt]).astype(jnp.float32)
+    fixed = (~db.valid) | (jnp.arange(C) < 2)
+    return make_problem(cams=SE3(db.wxyz, db.t), points=map_state.xyz,
+                        intrinsics=intr, obs_cam=obs_cam, obs_pt=pt,
+                        obs_uv=obs_uv, obs_w=w, cam_fixed=fixed)
 
 
 # ---------------------------------------------------------------------------

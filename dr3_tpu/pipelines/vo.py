@@ -442,6 +442,7 @@ class MonoVO:
             ref_patch=lk.extract_patches(pyr[0], feats.xy, half))
         self.T_cur = SE3.identity()
         self._snapshot_kf(0, self.frame_idx)
+        self._loop_db_insert(pyr)
         self.kf_count = 1
         self.stage = Stage.SECOND
         self._log_stats("first", n, n, True)
@@ -485,6 +486,7 @@ class MonoVO:
             valid=self.tracks.valid & good)
         self.T_cur = result.T_cur_ref  # ref kf pose is identity
         self._snapshot_kf(1, self.frame_idx)
+        self._loop_db_insert(pyr)
         self.kf_count = 2
         self.last_kf_tracked = int(jnp.sum(good.astype(jnp.int32)))
         self.stage = Stage.GENERAL
@@ -600,24 +602,35 @@ class MonoVO:
         self.T_cur = SE3(self.kfs.wxyz[slot], self.kfs.t[slot])
 
     # -- loop closure (pipelines/loop_closure.py) --------------------------
-    def _loop_step(self, pyr, kf_slot):
-        """At every new keyframe: add it to the loop database, query for a
-        revisit, geometrically verify, and on success correct the whole
-        trajectory through the keyframe pose graph."""
+    def _loop_db_insert(self, pyr):
+        """Append the just-made keyframe to the loop/global-BA database.
+        Returns (slot, entry) or (None, None) when disabled/full."""
         from dr3_tpu.pipelines import loop_closure as lc
         cfg = self.cfg
-        if self.db_cursor >= cfg.loop_db_capacity:
-            return  # database full (append-only ring is a round-2 item)
+        if self.loop_db is None or self.db_cursor >= cfg.loop_db_capacity:
+            return None, None  # full: append-only ring is a round-2 item
         entry = lc.make_entry(pyr[-1], pyr[0], self.tracks, self.map, cfg)
-        cand, _score = lc.db_query(
-            self.loop_db, entry.thumb, jnp.asarray(self.frame_idx, jnp.int32),
-            cfg.loop_min_gap_frames, cfg.loop_min_score)
-        my_slot = self.db_cursor
+        slot = self.db_cursor
         self.loop_db = lc.db_add(
-            self.loop_db, jnp.asarray(my_slot, jnp.int32), entry,
+            self.loop_db, jnp.asarray(slot, jnp.int32), entry,
             self.T_cur.wxyz, self.T_cur.t,
             jnp.asarray(self.frame_idx, jnp.int32))
         self.db_cursor += 1
+        return slot, entry
+
+    def _loop_step(self, pyr, kf_slot):
+        """At every new keyframe: add it to the loop database, query for a
+        revisit, geometrically verify, and on success correct the whole
+        trajectory through the keyframe pose graph. (The temporal-gap mask
+        makes a self-match impossible, so insert-then-query is safe.)"""
+        from dr3_tpu.pipelines import loop_closure as lc
+        cfg = self.cfg
+        my_slot, entry = self._loop_db_insert(pyr)
+        if my_slot is None:
+            return
+        cand, _score = lc.db_query(
+            self.loop_db, entry.thumb, jnp.asarray(self.frame_idx, jnp.int32),
+            cfg.loop_min_gap_frames, cfg.loop_min_score)
         if int(cand) < 0 or \
                 self.kf_count - self.last_loop_kf < cfg.loop_cooldown_kfs or \
                 len(self.loop_edges) >= cfg.loop_max_edges:
@@ -659,9 +672,21 @@ class MonoVO:
             SE3(db.wxyz[my_slot], db.t[my_slot]), poses_new[my_slot])
         self.map = self.map._replace(
             xyz=lc.apply_correction_points(G, self.map.xyz, self.map.valid))
+        self._apply_db_poses(old_fid, old_valid, old_mats, poses_new, my_slot)
+        self.last_loop_kf = self.kf_count
+        self.n_loop_closures += 1
 
-        # window keyframes: exact PGO pose where the keyframe is in the
-        # database (all are, normally), rigid G fallback otherwise
+    def _apply_db_poses(self, old_fid, old_valid, old_mats, poses_new,
+                        my_slot: int):
+        """Propagate corrected database keyframe poses into the live window,
+        the current pose, the past trajectory, and the database itself."""
+        from dr3_tpu.pipelines import loop_closure as lc
+        # self.loop_db still holds the pre-correction poses here
+        G = lc.world_correction(
+            SE3(self.loop_db.wxyz[my_slot], self.loop_db.t[my_slot]),
+            poses_new[my_slot])
+        # window keyframes: exact corrected pose where the keyframe is in
+        # the database (all are, normally), rigid G fallback otherwise
         slot_of_fid = {int(f): k for k, f in enumerate(old_fid)
                        if old_valid[k]}
         new_mats = np.array(poses_new.matrix())
@@ -683,9 +708,40 @@ class MonoVO:
                                      t=jnp.asarray(kf_t))
         self.T_cur = poses_new[my_slot]
         self._correct_trajectory(old_fid, old_valid, old_mats, new_mats)
-        self.loop_db = lc.apply_correction_db(db, poses_new)
-        self.last_loop_kf = self.kf_count
-        self.n_loop_closures += 1
+        self.loop_db = lc.apply_correction_db(self.loop_db, poses_new)
+
+    def global_refine(self, max_iters: int = 20):
+        """Offline global bundle adjustment over every keyframe in the loop
+        database plus the full map — the reference's Optimizer::global_BA
+        (src/optimizer.cpp:131-175), which its SLAM loop only ever calls
+        commented-out (src/slam.cpp:206). Requires ``loop_closure=True``
+        (the database doubles as the global observation table). Uses the
+        mesh-distributed Schur solve when the driver has a mesh.
+
+        Returns (initial_cost, final_cost) or None if no database."""
+        if self.loop_db is None or self.db_cursor < 3:
+            return None
+        from dr3_tpu.ba.schur_lm import bundle_adjust
+        from dr3_tpu.pipelines import loop_closure as lc
+        cfg = self.cfg
+        db = self.loop_db
+        prob = lc.global_ba_problem(db, self.map, self.intr)
+        if self.mesh is not None:
+            from dr3_tpu.parallel.dist_ba import dist_bundle_adjust
+            res = dist_bundle_adjust(prob, max_iters=max_iters,
+                                     huber_delta=cfg.ba_huber_delta,
+                                     lambda0=cfg.ba_lambda0, mesh=self.mesh)
+        else:
+            res = bundle_adjust(prob, max_iters, cfg.ba_huber_delta, True,
+                                cfg.ba_lambda0)
+        poses_new = SE3(res.problem.cam_wxyz, res.problem.cam_t)
+        self.map = self.map._replace(xyz=res.problem.points)
+        old_fid = np.array(db.frame_id)
+        old_valid = np.array(db.valid)
+        old_mats = np.array(SE3(db.wxyz, db.t).matrix())
+        self._apply_db_poses(old_fid, old_valid, old_mats, poses_new,
+                             self.db_cursor - 1)
+        return float(res.initial_cost), float(res.final_cost)
 
     def _correct_trajectory(self, fids, valid, old_mats, new_mats):
         """Rewrite past trajectory entries: every frame between keyframe k

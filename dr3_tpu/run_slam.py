@@ -29,6 +29,11 @@ def main(argv=None):
                     help="shard local BA over all visible devices")
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--resume", default=None, help="checkpoint path to resume")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="enable place recognition + pose-graph closure")
+    ap.add_argument("--global-ba", action="store_true",
+                    help="offline global BA over all keyframes after the run "
+                         "(implies --loop-closure)")
     args, unknown = ap.parse_known_args(argv)
 
     from dr3_tpu.io.kitti import open_fixture_sequence, open_sequence
@@ -36,6 +41,8 @@ def main(argv=None):
     from dr3_tpu.utils.config import Config
 
     cfg = Config.from_cli(unknown)  # --cell_size=30 style overrides
+    if args.loop_closure or args.global_ba:
+        cfg = cfg.replace(loop_closure=True)
     seq = open_sequence(args.seq) if args.seq else open_fixture_sequence()
     mesh = None
     if args.distributed:
@@ -61,6 +68,13 @@ def main(argv=None):
             from dr3_tpu.io.checkpoint import save_vo
 
             save_vo(os.path.join(args.out, "checkpoint"), vo)
+
+    if args.global_ba:
+        costs = vo.global_refine()
+        if costs is not None:
+            print(f"global BA: cost {costs[0]:.3f} -> {costs[1]:.3f}")
+        else:
+            print("global BA skipped: fewer than 3 keyframes in the database")
 
     print(vo.report())
 

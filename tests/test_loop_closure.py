@@ -39,7 +39,7 @@ def test_thumbnail_query_finds_revisit(rng):
     dummy = lc.LoopEntry(
         thumb=jnp.zeros(D), kp_desc=jnp.zeros((4, cfg.loop_desc_patch ** 2)),
         kp_px=jnp.zeros((4, 2)), kp_xyz=jnp.zeros((4, 3)),
-        kp_has=jnp.zeros(4, bool))
+        kp_point=jnp.full((4,), -1, jnp.int32), kp_has=jnp.zeros(4, bool))
     for k, im in enumerate(imgs):
         th = lc.thumbnail_descriptor(jnp.asarray(im), cfg.loop_thumb_h,
                                      cfg.loop_thumb_w)
@@ -111,12 +111,15 @@ def test_verify_loop_recovers_relative_pose(rng):
     D = cfg.loop_thumb_h * cfg.loop_thumb_w
     db = lc.LoopDatabase.empty(4, N, D, cfg.loop_desc_patch ** 2)
     entry_a = lc.LoopEntry(thumb=jnp.zeros(D), kp_desc=desc_a, kp_px=px_a_p,
-                           kp_xyz=xyz_p, kp_has=valid)
+                           kp_xyz=xyz_p, kp_point=jnp.full((N,), -1, jnp.int32),
+                           kp_has=valid)
     db = lc.db_add(db, jnp.asarray(0, jnp.int32), entry_a, T_a.wxyz, T_a.t,
                    jnp.asarray(0, jnp.int32))
 
     entry_b = lc.LoopEntry(thumb=jnp.zeros(D), kp_desc=desc_b, kp_px=px_b_p,
-                           kp_xyz=jnp.zeros((N, 3)), kp_has=valid_b)
+                           kp_xyz=jnp.zeros((N, 3)),
+                           kp_point=jnp.full((N,), -1, jnp.int32),
+                           kp_has=valid_b)
     ver = lc.verify_loop(db, jnp.asarray(0, jnp.int32), entry_b, cam, cfg)
     assert bool(ver.ok), (int(ver.n_matches), int(ver.n_inliers))
     T_fit = SE3(ver.wxyz, ver.t)
@@ -141,7 +144,7 @@ def test_db_graph_corrects_injected_drift():
     dummy = lc.LoopEntry(
         thumb=jnp.zeros(D), kp_desc=jnp.zeros((4, cfg.loop_desc_patch ** 2)),
         kp_px=jnp.zeros((4, 2)), kp_xyz=jnp.zeros((4, 3)),
-        kp_has=jnp.zeros(4, bool))
+        kp_point=jnp.full((4,), -1, jnp.int32), kp_has=jnp.zeros(4, bool))
     for k, x in enumerate(xs_odo):
         T = _lateral_pose(x)
         db = lc.db_add(db, jnp.asarray(k, jnp.int32), dummy, T.wxyz, T.t,
@@ -209,3 +212,13 @@ def test_vo_loop_closure_out_and_back(rng):
     a_odo = ate_rmse(est_o[i0:], gt[i0:], with_scale=True)
     assert a_loop.rmse < max(1.25 * a_odo.rmse, 0.01 * traj_len), \
         (a_loop.rmse, a_odo.rmse)
+
+    # offline global BA over the whole database (Optimizer::global_BA
+    # parity): must reduce cost and keep the trajectory sane
+    costs = vo.global_refine(max_iters=10)
+    assert costs is not None
+    c0, c1 = costs
+    assert np.isfinite(c1) and c1 <= c0, costs
+    est_g = vo.positions()
+    a_g = ate_rmse(est_g[i0:], gt[i0:], with_scale=True)
+    assert a_g.rmse < 0.05 * traj_len, (a_g.rmse, a_loop.rmse)
