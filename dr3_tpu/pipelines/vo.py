@@ -42,7 +42,8 @@ from dr3_tpu.geometry.lie import SE3
 from dr3_tpu.models.camera import Pinhole
 from dr3_tpu.ops import corners, lk, pyramid
 from dr3_tpu.pipelines.twoview_init import initialize_two_view
-from dr3_tpu.state import KeyframeState, MapState, TrackState
+from dr3_tpu.state import (KeyframeState, MapState, TrackState, compact_map,
+                           remap_point_ids)
 from dr3_tpu.utils.config import Config
 from dr3_tpu.utils.timing import Monitor
 
@@ -238,6 +239,25 @@ def _spawn_tracks(pyr_cur, tracks: TrackState, cfg: Config, kf_slot,
     return tr, jnp.sum(place.astype(jnp.int32))
 
 
+@jax.jit
+def _referenced_points(tracks: TrackState, kfs: KeyframeState, map_valid,
+                       db_point=None, db_valid=None):
+    """Bool [P]: map point ids referenced by live tracks, window keyframe
+    observations, or the loop database."""
+    P = map_valid.shape[0]
+    keep = jnp.zeros((P,), bool)
+
+    def mark(keep, ids, cond):
+        dest = jnp.where(cond & (ids >= 0), ids, P)  # P -> dropped
+        return keep.at[dest.reshape(-1)].set(True, mode="drop")
+
+    keep = mark(keep, tracks.point, tracks.valid)
+    keep = mark(keep, kfs.obs_point, kfs.valid[:, None])
+    if db_point is not None:
+        keep = mark(keep, db_point, db_valid[:, None])
+    return keep
+
+
 def _window_problem(kfs: KeyframeState, map_state: MapState, intr):
     """Flatten keyframe snapshots into a BAProblem (keyframes-only graph —
     the reference README's TODO, README.md:47-48)."""
@@ -329,6 +349,7 @@ class MonoVO:
         self.lost_count = 0
         self.n_relocalizations = 0
         self.n_loop_closures = 0
+        self.n_compactions = 0
         self._reset_init()
 
     def _reset_init(self):
@@ -555,9 +576,37 @@ class MonoVO:
             return True
         return n_inliers < cfg.kf_inlier_ratio * max(self.last_kf_tracked, 1)
 
+    def _compact_map_if_needed(self):
+        """Reclaim map capacity when the allocation cursor nears the end:
+        drop points no longer referenced by live tracks, window keyframes,
+        or the loop database, renumbering the survivors densely (ids are
+        rewritten in every table). Bounds memory for unbounded sequences —
+        the failure mode the reference logged as BA getting 'ridiculously
+        slow' as its Map grew without bound (reference README.md:44-48)."""
+        cfg = self.cfg
+        if self.point_cursor + self.n_tracks <= cfg.max_points:
+            return
+        if self.loop_db is not None:
+            keep = _referenced_points(self.tracks, self.kfs, self.map.valid,
+                                      self.loop_db.kp_point,
+                                      self.loop_db.valid)
+        else:
+            keep = _referenced_points(self.tracks, self.kfs, self.map.valid)
+        self.map, new_id, n_live = compact_map(self.map, keep)
+        self.tracks = self.tracks._replace(
+            point=remap_point_ids(self.tracks.point, new_id))
+        self.kfs = self.kfs._replace(
+            obs_point=remap_point_ids(self.kfs.obs_point, new_id))
+        if self.loop_db is not None:
+            self.loop_db = self.loop_db._replace(
+                kp_point=remap_point_ids(self.loop_db.kp_point, new_id))
+        self.point_cursor = int(n_live)
+        self.n_compactions += 1
+
     def _make_keyframe(self, pyr):
         cfg = self.cfg
         slot = self._evict_oldest_if_full()
+        self._compact_map_if_needed()
 
         self.monitor.tic("triangulate")
         self.tracks, self.map, cursor, n_new = _triangulate_new(

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from dr3_tpu.geometry.lie import SE3
@@ -95,3 +96,39 @@ class MapState(NamedTuple):
         """Total live observations (Map::n_observations, src/map.cpp:21-26)."""
         live = (kfs.obs_point >= 0) & kfs.valid[:, None]
         return jnp.sum(live.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# map compaction
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def compact_map(map_state: MapState, keep: jnp.ndarray):
+    """Compress live map points to the front of the capacity array.
+
+    The reference's Map only ever grows (its global BA got "ridiculously
+    slow", reference README.md:44-45); with static TPU shapes, growth is a
+    hard capacity instead, so long sequences need reclamation. ``keep``
+    marks the point ids still referenced anywhere (live tracks, keyframe
+    observations, loop database); everything else is dropped and survivors
+    are renumbered densely.
+
+    Returns (compacted MapState, new_id [P] with -1 for dropped, n_live).
+    Remap every id table through ``remap_point_ids(ids, new_id)``.
+    """
+    P = keep.shape[0]
+    keep = keep & map_state.valid
+    new_id = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, -1)
+    dest = jnp.where(keep, new_id, P)  # out-of-range -> dropped by scatter
+    xyz = jnp.zeros_like(map_state.xyz).at[dest].set(map_state.xyz,
+                                                     mode="drop")
+    valid = jnp.zeros_like(map_state.valid).at[dest].set(keep, mode="drop")
+    return MapState(xyz=xyz, valid=valid), new_id, jnp.sum(
+        keep.astype(jnp.int32))
+
+
+@jax.jit
+def remap_point_ids(ids: jnp.ndarray, new_id: jnp.ndarray) -> jnp.ndarray:
+    """Rewrite a point-id table (-1 = none) through a compaction mapping."""
+    safe = jnp.clip(ids, 0, new_id.shape[0] - 1)
+    return jnp.where(ids >= 0, new_id[safe], -1).astype(jnp.int32)
