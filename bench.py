@@ -47,11 +47,13 @@ def main():
     if len(frames) < 2:
         frames = [args[0], args[1]]
 
-    (img_prev, img_cur, track_px, track_valid, track_point,
+    (pyr_prev, img_cur, track_px, track_valid, track_point,
      map_xyz, map_valid, pose_wxyz, pose_t) = args
 
-    # warmup / compile
-    out = step(frames[0], frames[1], track_px, track_valid, track_point,
+    # warmup / compile (the step consumes the previous frame's pyramid and
+    # returns the current one — one pyramid build per frame, like the
+    # pipeline driver)
+    out = step(pyr_prev, frames[0], track_px, track_valid, track_point,
                map_xyz, map_valid, pose_wxyz, pose_t)
     jax.block_until_ready(out)
 
@@ -59,13 +61,14 @@ def main():
     # first few steps (30 iters measures pipeline fill, not throughput)
     n_iters = int(os.environ.get("BENCH_FRAMES", "120"))
     t0 = time.perf_counter()
+    pyr = out[0]
     px, valid = track_px, track_valid
     for i in range(n_iters):
-        a = frames[i % len(frames)]
         b = frames[(i + 1) % len(frames)]
-        out = step(a, b, px, valid, track_point, map_xyz, map_valid,
+        out = step(pyr, b, px, valid, track_point, map_xyz, map_valid,
                    pose_wxyz, pose_t)
-        px = out[0]
+        pyr = out[0]
+        px = out[1]
         # keep the track table full and in-frame so every frame does
         # identical work
         px = jnp.clip(px, jnp.asarray([25.0, 25.0]),
