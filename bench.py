@@ -8,6 +8,13 @@ KITTI resolution 1240x376, cycling the ten KITTI frames checked into the
 reference repo. This is the per-frame hot path of the SLAM pipeline
 (reference SLAM prints the same FPS statistic, src/slam.cpp:49-84).
 
+The frame loop runs ON DEVICE as one ``lax.scan`` over a stacked frame
+buffer — host dispatch through the remote TPU relay costs ~10 ms/call,
+which would measure tunnel latency, not chip throughput. Each scan step
+does the identical full tracking step the pipeline driver dispatches:
+pyramid build, 4-level Pallas LK over 546 tracks, 10-iteration motion-only
+pose LM against a 2048-point map.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 anchor is the KITTI capture rate — 10 frames/sec — i.e. vs_baseline = x
 means x-times real-time. The reference's own qualitative claim is roughly
@@ -34,50 +41,56 @@ def main():
     from dr3_tpu.io.kitti import open_fixture_sequence
 
     step, args = entry()
-    step = jax.jit(step)
 
     # real frames if available, else the synthetic example args
     try:
         seq = open_fixture_sequence()
-        frames = [jnp.asarray(f) for f in
-                  (np.asarray(x, np.float32) for x in
-                   ([seq.frame(i) for i in range(len(seq))]))]
+        frames = [jnp.asarray(np.asarray(seq.frame(i), np.float32))
+                  for i in range(len(seq))]
     except Exception:
-        frames = [args[0], args[1]]
+        frames = [args[0][0], args[1]]
     if len(frames) < 2:
-        frames = [args[0], args[1]]
+        frames = [args[0][0], args[1]]
+    frame_stack = jnp.stack(frames)  # [F, H, W]
 
     (pyr_prev, img_cur, track_px, track_valid, track_point,
      map_xyz, map_valid, pose_wxyz, pose_t) = args
+    h, w = img_cur.shape
+    lo = jnp.asarray([25.0, 25.0])
+    hi = jnp.asarray([w - 25.0, h - 25.0])
 
-    # warmup / compile (the step consumes the previous frame's pyramid and
-    # returns the current one — one pyramid build per frame, like the
-    # pipeline driver)
-    out = step(pyr_prev, frames[0], track_px, track_valid, track_point,
-               map_xyz, map_valid, pose_wxyz, pose_t)
+    n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
+
+    @jax.jit
+    def run(frame_stack, pyr0, px0):
+        def body(carry, idx):
+            pyr, px, wxyz, t = carry
+            img = frame_stack[idx % frame_stack.shape[0]]
+            out = step(pyr, img, px, track_valid, track_point,
+                       map_xyz, map_valid, wxyz, t)
+            pyr2, pos = out[0], out[1]
+            # keep the track table full and in-frame so every frame does
+            # identical work
+            px2 = jnp.clip(pos, lo, hi)
+            return (pyr2, px2, out[3], out[4]), out[5]
+        idxs = jnp.arange(n_frames, dtype=jnp.int32)
+        (pyr, px, wxyz, t), costs = jax.lax.scan(
+            body, (pyr0, px0, pose_wxyz, pose_t), idxs)
+        return px, costs
+
+    # warmup / compile
+    out = run(frame_stack, pyr_prev, track_px)
     jax.block_until_ready(out)
 
-    # enough async dispatches to amortize the remote-relay latency of the
-    # first few steps (30 iters measures pipeline fill, not throughput)
-    n_iters = int(os.environ.get("BENCH_FRAMES", "120"))
+    # a few dispatches to amortize relay latency of the scan launch itself
+    reps = int(os.environ.get("BENCH_REPS", "10"))
     t0 = time.perf_counter()
-    pyr = out[0]
-    px, valid = track_px, track_valid
-    for i in range(n_iters):
-        b = frames[(i + 1) % len(frames)]
-        out = step(pyr, b, px, valid, track_point, map_xyz, map_valid,
-                   pose_wxyz, pose_t)
-        pyr = out[0]
-        px = out[1]
-        # keep the track table full and in-frame so every frame does
-        # identical work
-        px = jnp.clip(px, jnp.asarray([25.0, 25.0]),
-                      jnp.asarray([1240.0 - 25.0, 376.0 - 25.0]))
-        valid = track_valid
+    for _ in range(reps):
+        out = run(frame_stack, pyr_prev, track_px)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    fps = n_iters / dt
+    fps = reps * n_frames / dt
     print(json.dumps({
         "metric": "vo_frontend_frames_per_sec_per_chip",
         "value": round(fps, 3),

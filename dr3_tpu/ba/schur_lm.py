@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from dr3_tpu.ba.problem import BAProblem, apply_update, linearize
-from dr3_tpu.geometry.linalg import inv3x3
+from dr3_tpu.geometry.linalg import chol_solve_small, inv3x3
 
 
 class BAResult(NamedTuple):
@@ -160,7 +160,7 @@ def pose_only_adjust(problem: BAProblem, max_iters: int = 10,
         H = jax.ops.segment_sum(AtA, p.obs_cam, num_segments=K)
         b = -jax.ops.segment_sum(Atr, p.obs_cam, num_segments=K)
         H = H + eye6 * (lam * jnp.diagonal(H, axis1=-2, axis2=-1) + 1e-8)[..., None, :]
-        dc = jnp.linalg.solve(H, b[..., None])[..., 0]
+        dc = chol_solve_small(H, b)
         p_new = apply_update(p, dc, jnp.zeros_like(p.points))
         new_cost = linearize(p_new, huber_delta).cost
         ok = (new_cost < best_cost) & jnp.isfinite(new_cost)

@@ -36,6 +36,42 @@ def solve_psd(A: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0) -> jnp.ndarr
     return x[..., 0] if b.ndim == A.ndim - 1 else x
 
 
+def chol_solve_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky solve for tiny SPD systems, fully unrolled.
+
+    A [..., n, n], b [..., n] with n static and small (<= ~8). XLA lowers
+    ``jnp.linalg.solve``/``cholesky`` on tiny matrices to sequential LU /
+    blocked loops whose launch latency dominates the actual math on TPU
+    (measured ~0.1 ms per 6x6 solve inside the pose-GN loop). Unrolling the
+    factorization into n^3/3 elementwise ops keeps everything on the VPU,
+    batched over the leading axes.
+    """
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
     """Closed-form batched 3x3 inverse (adjugate / det) — no LU dispatch."""
     a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
