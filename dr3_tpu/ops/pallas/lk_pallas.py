@@ -66,12 +66,25 @@ def _select_window_roll(region, ry, rx, size):
     return rolled[:, :size]
 
 
+def _select_window_roll2(region, ry, rx, size):
+    """Fastest extraction: both residuals resolve with one dynamic rotate
+    each (sublane then lane) instead of the 8-term masked sum — ~6 native
+    VPU ops per access vs ~50. Shifts are passed as positive equivalents:
+    compiled Mosaic mis-lowers *negative* dynamic roll shifts on some
+    shapes (measured on 384-lane arrays; see warp_pallas)."""
+    r0 = pltpu.roll(region, _ROWS - ry, axis=0)    # r0[i] = region[i + ry]
+    r1 = pltpu.roll(r0, _LANES - rx, axis=1)       # r1[:, j] = r0[:, j + rx]
+    return r1[:size, :size]
+
+
 def _aligned_window(img_ref, y0, x0, size, variant: str):
     """Load the window img[y0:y0+size, x0:x0+size] at arbitrary integer
     (y0, x0) using an aligned vector load + in-register selection."""
     y8 = pl.multiple_of((y0 // 8) * 8, 8)
     x128 = pl.multiple_of((x0 // 128) * 128, 128)
     region = img_ref[pl.ds(y8, _ROWS), pl.ds(x128, _LANES)]
+    if variant == "roll2":
+        return _select_window_roll2(region, y0 - y8, x0 - x128, size)
     if variant == "roll":
         return _select_window_roll(region, y0 - y8, x0 - x128, size)
     return _select_window_matmul(region, y0 - y8, x0 - x128, size)
@@ -193,19 +206,20 @@ def _pad_image(img):
     return jnp.pad(img, ((PAD, ph - h - PAD), (PAD, pw - w - PAD)), mode="edge")
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def track_level_pallas(img_prev, img_next, pts_prev, guess,
                        half_window: int = 7, iters: int = 10,
                        min_eig: float = 1e-4, interpret: bool = False,
-                       variant: str = "roll"):
+                       variant: str = "roll", batch: int = 4):
     """Pallas counterpart of ops.lk.track_level (inverse-compositional GN).
 
     pts_prev/guess [N, 2] at this level's scale. Returns (pos, ok, err).
+    ``batch`` = tracks per grid step (independent GN chains interleave to
+    hide each other's load latency; the kernel is latency-bound).
     """
     assert half_window + 2 <= PAD, "half_window too large for padding"
     n = pts_prev.shape[0]
     h, w = img_prev.shape
-    batch = 4  # tracks per grid step (independent chains hide latency)
     n_pad = _round_up(n, batch)
 
     ip = _pad_image(img_prev)
@@ -258,7 +272,7 @@ def track_pyramid_pallas(pyr_prev: List[jnp.ndarray], pyr_next: List[jnp.ndarray
                          half_window: int = 7, iters: int = 10,
                          eps: float = 1e-2, max_err: float = 40.0,
                          interpret: bool | None = None,
-                         variant: str = "roll") -> TrackResult:
+                         variant: str = "roll2", batch: int = 8) -> TrackResult:
     """Drop-in replacement for ops.lk.track_pyramid using the TPU kernel.
 
     ``interpret=None`` auto-selects: compiled on TPU, interpreter elsewhere
@@ -274,7 +288,7 @@ def track_pyramid_pallas(pyr_prev: List[jnp.ndarray], pyr_next: List[jnp.ndarray
         pts_l = pts / (2.0 ** lvl)
         pos, ok, err = track_level_pallas(pyr_prev[lvl], pyr_next[lvl], pts_l,
                                           guess, half_window, iters, 1e-4,
-                                          interpret, variant)
+                                          interpret, variant, batch)
         ok_all = ok_all & ok
         guess = pos * 2.0 if lvl > 0 else pos
     ok_final = ok_all & valid & (err < max_err)

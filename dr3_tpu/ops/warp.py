@@ -149,3 +149,51 @@ def warp_spherical(img: jnp.ndarray, f: float) -> jnp.ndarray:
 def warp_cylindrical(img: jnp.ndarray, f: float) -> jnp.ndarray:
     u, v = cylindrical_warp_field(img.shape[0], img.shape[1], f)
     return remap(img, u, v)
+
+
+# ---------------------------------------------------------------------------
+# auto dispatch: Pallas tile kernels on TPU, XLA gathers elsewhere
+# ---------------------------------------------------------------------------
+
+def _on_tpu() -> bool:
+    import jax
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def warp_perspective_auto(img: jnp.ndarray, H, out_hw: tuple[int, int],
+                          fill: float = 0.0):
+    """warp_perspective through the Pallas two-pass kernels when running on
+    TPU with a *concrete* homography within kernel shift capacity (the
+    capacity check needs H's values); XLA gather path otherwise."""
+    import numpy as np
+    if _on_tpu():
+        try:
+            Hc = np.asarray(H, dtype=np.float32)  # raises if traced
+        except Exception:
+            Hc = None
+        if Hc is not None and np.all(np.isfinite(Hc)):
+            from dr3_tpu.ops.pallas import warp_pallas as wp
+            src_hw = img.shape[:2]
+            if wp.perspective_spread_ok(Hc, src_hw, out_hw):
+                return wp.warp_perspective(img, jnp.asarray(Hc), out_hw,
+                                           fill=fill)
+    return warp_perspective(img, jnp.asarray(H), out_hw, fill=fill)
+
+
+def warp_spherical_auto(img: jnp.ndarray, f: float) -> jnp.ndarray:
+    """warp_spherical via the MXU/Pallas two-pass on TPU (with its own
+    capacity fallback), XLA gathers elsewhere."""
+    if _on_tpu():
+        from dr3_tpu.ops.pallas import warp_pallas as wp
+        return wp.warp_spherical(img, f)
+    return warp_spherical(img, f)
+
+
+def warp_cylindrical_auto(img: jnp.ndarray, f: float) -> jnp.ndarray:
+    if _on_tpu():
+        from dr3_tpu.ops.pallas import warp_pallas as wp
+        return wp.warp_cylindrical(img, f)
+    return warp_cylindrical(img, f)

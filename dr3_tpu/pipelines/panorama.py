@@ -29,7 +29,8 @@ import numpy as np
 from dr3_tpu.geometry.homography import apply_homography
 from dr3_tpu.io.image import load_image_dir
 from dr3_tpu.ops import blend
-from dr3_tpu.ops.warp import warp_perspective, warp_spherical
+from dr3_tpu.ops.warp import (warp_perspective_auto as warp_perspective,
+                              warp_spherical_auto as warp_spherical)
 from dr3_tpu.pipelines.stitch import Stitch
 from dr3_tpu.utils.config import Config
 from dr3_tpu.utils.timing import Monitor

@@ -33,7 +33,8 @@ from dr3_tpu.geometry.homography import apply_homography
 from dr3_tpu.geometry.ransac import RansacResult, ransac_homography
 from dr3_tpu.io.image import to_gray
 from dr3_tpu.ops import corners, lk, match, pyramid
-from dr3_tpu.ops.warp import warp_perspective, warp_spherical
+from dr3_tpu.ops.warp import (warp_perspective_auto as warp_perspective,
+                              warp_spherical_auto as warp_spherical)
 from dr3_tpu.utils.config import Config
 
 

@@ -62,8 +62,9 @@ def main():
         iters=cfg.klt_iters, eps=cfg.klt_eps))
     print("LK pallas (4lvl,10it) %7.3f ms" % timeit(lk_fn, (pyr1, pyr2, px, valid)))
 
-    det_fn = jax.jit(lambda pyr: corners.detect(
-        list(pyr), cfg.cell_size, cfg.fast_threshold, cfg.min_corner_score))
+    det_fn = jax.jit(lambda pyr: corners.detect_features(
+        list(pyr)[: cfg.n_pyr_levels], cfg.cell_size, cfg.min_corner_score,
+        cfg.fast_threshold))
     try:
         print("FAST+ST detect        %7.3f ms" % timeit(det_fn, (pyr1,)))
     except Exception as e:
