@@ -29,4 +29,13 @@ Package layout:
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# On TPU, f32 matmuls default to bf16 inputs — fatal for geometry (8-point
+# SVD systems, triangulation, normal equations lose ~8 mantissa bits;
+# measured: epipolar residuals off by ~1px, two-view bootstrap fails).
+# Default the whole framework to full-precision matmuls; bandwidth-bound
+# kernels that tolerate bf16 opt back in with an explicit precision=.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from dr3_tpu.utils.config import Config  # noqa: F401

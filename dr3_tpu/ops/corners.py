@@ -128,6 +128,19 @@ def shi_tomasi_map(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(inner, score, 0.0)
 
 
+def corner_response(img: jnp.ndarray, fast_threshold: float) -> jnp.ndarray:
+    """Fused per-level response: Shi-Tomasi score at NMS-surviving FAST
+    corners, zero elsewhere. Backend dispatcher: the fused Pallas kernel on
+    TPU (the jnp formulation materializes ~60 full-image temporaries through
+    HBM), the jnp oracle elsewhere."""
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        from dr3_tpu.ops.pallas.detect_pallas import corner_response_map
+
+        return corner_response_map(img, fast_threshold, interpret=False)
+    return jnp.where(nms3x3(fast_score_map(img, fast_threshold)),
+                     shi_tomasi_map(img), 0.0)
+
+
 class GridCorners(NamedTuple):
     """One corner slot per grid cell (SoA; fixed capacity = n_cells)."""
 
@@ -168,10 +181,7 @@ def detect_features(
     level0 = jnp.zeros((h0, w0), jnp.int32)
     for lvl, img in enumerate(pyramid):
         scale = 1 << lvl
-        fscore = fast_score_map(img, fast_threshold)
-        keep = nms3x3(fscore)
-        st = shi_tomasi_map(img)
-        score = jnp.where(keep, st, 0.0)
+        score = corner_response(img, fast_threshold)
         if lvl > 0:
             score = jnp.repeat(jnp.repeat(score, scale, axis=0), scale, axis=1)
             score = score[:h0, :w0]

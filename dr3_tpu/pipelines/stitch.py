@@ -66,19 +66,13 @@ def find_correspondences(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
     p2 = f_r.xy[m.idx2]
     w = m.ok
     if refine_lk:
-        res = lk.track_pyramid(pyr_l, pyr_r, p1, w, init=p2,
-                               half_window=cfg.klt_window // 2,
-                               iters=cfg.klt_iters, eps=cfg.klt_eps)
+        res = lk.track_pyramid_auto(pyr_l, pyr_r, p1, w, init=p2,
+                                    half_window=cfg.klt_window // 2,
+                                    iters=cfg.klt_iters, eps=cfg.klt_eps)
         # accept refinement only where LK stayed near the descriptor match
         near = jnp.linalg.norm(res.pos - p2, axis=-1) < 5.0
         p2 = jnp.where((res.ok & near)[:, None], res.pos, p2)
     return p1, p2, w.astype(left_gray.dtype)
-
-
-@functools.partial(jax.jit, static_argnums=(4, 6))
-def _align(key, p1, p2, w, n_samples, threshold, translate_only):
-    return ransac_homography(key, p1, p2, w, n_samples=n_samples,
-                             threshold=threshold, translate_only=translate_only)
 
 
 class Stitch:
@@ -92,17 +86,30 @@ class Stitch:
         self.translate_only = translate_only
         self.focal_length = focal_length
         self.key = jax.random.PRNGKey(seed)
+        # the whole correspondence + RANSAC stage is ONE jitted program:
+        # per-pair eager dispatch costs ~10 ms/op through the TPU relay, and
+        # every panorama pair shares the same image shape, so this compiles
+        # once and each align_pair is a single device call.
+        cfg_, t_ = self.cfg, translate_only
+
+        @jax.jit
+        def _pair_program(lg, rg, key):
+            p1, p2, w = find_correspondences(lg, rg, cfg_)
+            # reference uses 500 iters for stitching (stitch.hpp:50-52)
+            res = ransac_homography(key, p1, p2, w, n_samples=500,
+                                    threshold=cfg_.ransac_threshold,
+                                    translate_only=t_)
+            return p1, p2, w, res
+
+        self._pair_program = _pair_program
 
     def align_pair(self, left: np.ndarray, right: np.ndarray) -> PairAlignment:
         """Estimate H mapping left pixels into right pixels
         (reference align_pair + least_squares_fit, src/stitch.cpp:101-218)."""
         lg = jnp.asarray(to_gray(left))
         rg = jnp.asarray(to_gray(right))
-        p1, p2, w = find_correspondences(lg, rg, self.cfg)
         self.key, sub = jax.random.split(self.key)
-        # reference uses 500 iters for stitching (stitch.hpp:50-52)
-        res: RansacResult = _align(sub, p1, p2, w, 500,
-                                   self.cfg.ransac_threshold, self.translate_only)
+        p1, p2, w, res = self._pair_program(lg, rg, sub)
         return PairAlignment(
             H=np.array(res.model), n_inliers=int(res.n_inliers),
             n_matches=int(jnp.sum(w > 0)), p_left=np.array(p1),
