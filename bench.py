@@ -36,6 +36,9 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dr3_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from __graft_entry__ import entry
 
     from dr3_tpu.io.kitti import open_fixture_sequence

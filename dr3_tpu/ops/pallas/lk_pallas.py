@@ -43,9 +43,10 @@ _LANES = 256       # aligned region lanes loaded per access (128 | _LANES)
 def _select_window_matmul(region, ry, rx, size):
     """Extract region[ry:ry+size, rx:rx+size] for *dynamic* in-tile
     residuals ry in [0,8), rx in [0,128) via one-hot selection matmuls."""
-    rows_idx = jax.lax.broadcasted_iota(jnp.int32, (size, _ROWS), 1)
+    rows = region.shape[0]
+    rows_idx = jax.lax.broadcasted_iota(jnp.int32, (size, rows), 1)
     sel_r = (rows_idx == (ry + jax.lax.broadcasted_iota(
-        jnp.int32, (size, _ROWS), 0))).astype(region.dtype)
+        jnp.int32, (size, rows), 0))).astype(region.dtype)
     cols_idx = jax.lax.broadcasted_iota(jnp.int32, (_LANES, size), 0)
     sel_c = (cols_idx == (rx + jax.lax.broadcasted_iota(
         jnp.int32, (_LANES, size), 1))).astype(region.dtype)
@@ -72,17 +73,21 @@ def _select_window_roll2(region, ry, rx, size):
     VPU ops per access vs ~50. Shifts are passed as positive equivalents:
     compiled Mosaic mis-lowers *negative* dynamic roll shifts on some
     shapes (measured on 384-lane arrays; see warp_pallas)."""
-    r0 = pltpu.roll(region, _ROWS - ry, axis=0)    # r0[i] = region[i + ry]
+    rows = region.shape[0]
+    r0 = pltpu.roll(region, rows - ry, axis=0)     # r0[i] = region[i + ry]
     r1 = pltpu.roll(r0, _LANES - rx, axis=1)       # r1[:, j] = r0[:, j + rx]
     return r1[:size, :size]
 
 
-def _aligned_window(img_ref, y0, x0, size, variant: str):
+def _aligned_window(img_ref, y0, x0, size, variant: str, rows: int = _ROWS):
     """Load the window img[y0:y0+size, x0:x0+size] at arbitrary integer
-    (y0, x0) using an aligned vector load + in-register selection."""
+    (y0, x0) using an aligned vector load + in-register selection.
+    ``rows`` = aligned region rows; must cover 7 (max sublane residual)
+    + size. The per-iteration target loads use 24 instead of 32 — 25%
+    less data through the dynamic rotates on the hottest path."""
     y8 = pl.multiple_of((y0 // 8) * 8, 8)
     x128 = pl.multiple_of((x0 // 128) * 128, 128)
-    region = img_ref[pl.ds(y8, _ROWS), pl.ds(x128, _LANES)]
+    region = img_ref[pl.ds(y8, rows), pl.ds(x128, _LANES)]
     if variant == "roll2":
         return _select_window_roll2(region, y0 - y8, x0 - x128, size)
     if variant == "roll":
@@ -151,7 +156,10 @@ def _lk_kernel(meta_ref, img_prev_ref, img_next_ref, pos_ref, ok_ref, err_ref,
         tby = jnp.floor(cy).astype(jnp.int32) - half
         tfx = cx - jnp.floor(cx)
         tfy = cy - jnp.floor(cy)
-        win = _aligned_window(img_next_ref, tby, tbx, W + 1, variant)
+        # max sublane residual 7 + window rows; never beyond the _ROWS pad
+        # slack (loads past it would be OOB -> TPU worker crash)
+        rows = min(_round_up(8 + W + 1, 8), _ROWS)
+        win = _aligned_window(img_next_ref, tby, tbx, W + 1, variant, rows)
         return _bil(win, 0, 0, tfy, tfx, W)
 
     # every aligned load must stay inside the padded image even when a GN

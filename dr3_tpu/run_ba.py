@@ -31,6 +31,11 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true", help="force CPU")
     args = ap.parse_args(argv)
 
+
+    from dr3_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
 
     if args.cpu:

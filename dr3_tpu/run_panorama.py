@@ -25,6 +25,10 @@ def main(argv=None):
     ap.add_argument("--out", default="panorama.png")
     args, unknown = ap.parse_known_args(argv)
 
+    from dr3_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from dr3_tpu.io.image import load_image, save_image
     from dr3_tpu.utils.config import Config
 

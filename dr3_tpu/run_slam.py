@@ -36,6 +36,11 @@ def main(argv=None):
                          "(implies --loop-closure)")
     args, unknown = ap.parse_known_args(argv)
 
+
+    from dr3_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from dr3_tpu.io.kitti import open_fixture_sequence, open_sequence
     from dr3_tpu.pipelines.vo import MonoVO
     from dr3_tpu.utils.config import Config

@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     args, unknown = ap.parse_known_args(argv)
 
+    from dr3_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 

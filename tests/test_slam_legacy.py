@@ -1,0 +1,61 @@
+"""Legacy frame-to-frame descriptor-matching SLAM (reference dr3::SLAM,
+src/slam.cpp) on a rendered sequence with exact ground-truth motion."""
+
+import numpy as np
+import pytest
+
+from dr3_tpu.geometry.lie import SE3, SO3
+from dr3_tpu.models.camera import Pinhole
+from dr3_tpu.pipelines.slam_legacy import LegacySLAM
+from dr3_tpu.utils.config import Config
+from tests.synth import forward_trajectory, make_textures, render_scene
+
+
+def _run(rng, n_frames=4, step=0.15):
+    cam = Pinhole.create(320, 240, 280.0, 280.0, 160.0, 120.0)
+    tex_near, tex_far = make_textures(rng)
+    poses = forward_trajectory(n_frames, step=step)
+    frames = [np.asarray(render_scene(cam, T, tex_near, tex_far))
+              for T in poses]
+    slam = LegacySLAM(cam, Config(fast_threshold=8.0))
+    results = [slam.process(f) for f in frames]
+    return slam, results, poses
+
+
+@pytest.mark.slow
+def test_legacy_slam_recovers_frame_to_frame_motion(rng):
+    slam, results, poses = _run(rng)
+    assert results[0] is None  # first frame only initializes
+    import jax.numpy as jnp
+
+    for i, r in enumerate(results[1:], start=1):
+        assert r is not None
+        assert r.n_matches > 40, r.n_matches
+        assert r.n_inliers > 25, r.n_inliers
+        assert r.n_good > 15, r.n_good
+        # ground-truth relative motion
+        T_rel = poses[i] @ SE3(poses[i - 1].wxyz, poses[i - 1].t).inverse()
+        R_gt = np.asarray(SO3(T_rel.wxyz).matrix())
+        t_gt = np.asarray(T_rel.t)
+        # rotation error (deg)
+        cosang = (np.trace(r.R.T @ R_gt) - 1) / 2
+        ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+        assert ang < 1.0, ang
+        # translation direction error (scale is unobservable)
+        tdir = r.t / np.linalg.norm(r.t)
+        gdir = t_gt / np.linalg.norm(t_gt)
+        assert np.degrees(np.arccos(np.clip(abs(tdir @ gdir), 0, 1))) < 10.0
+
+
+@pytest.mark.slow
+def test_legacy_slam_map_and_report(rng):
+    slam, results, _ = _run(rng)
+    pts = slam.map_points()
+    assert pts.shape[0] > 50
+    # duplicate suppression: landmarks chained across >= 3 frames exist
+    assert max(slam.point_obs) >= 3
+    traj = slam.trajectory_matrix()
+    assert traj.shape == (4, 4, 4)
+    # poses move forward (z translation dominates in camera convention)
+    rep = slam.report()
+    assert "FPS" in rep and "map points" in rep and "avg match" in rep
