@@ -50,14 +50,16 @@ def ransac(key: jax.Array,
            score: Callable[[jnp.ndarray], tuple],
            p1: jnp.ndarray, p2: jnp.ndarray, weights: jnp.ndarray,
            n_samples: int, sample_size: int,
-           refit: Callable | None = None) -> RansacResult:
+           refit: Callable | None = None, refit_rounds: int = 1) -> RansacResult:
     """Generic vmapped RANSAC over fixed-capacity matches.
 
     fit(p1_s, p2_s, w_s) -> model for a minimal set;
     score(model) -> (score_scalar, inlier_mask) over all matches;
     refit(model, inliers) -> model, optional least-squares polish on the
     best hypothesis' inliers (reference Stitch::least_squares_fit,
-    src/stitch.cpp:187-218).
+    src/stitch.cpp:187-218). ``refit_rounds > 1`` iterates
+    refit -> re-gate inliers -> refit (LO-RANSAC style), which removes most
+    of the sampling-seed variance of the minimal-set winner.
     """
     n = p1.shape[0]
     idx = sample_minimal_sets(key, n, weights, n_samples, sample_size)
@@ -74,15 +76,15 @@ def ransac(key: jax.Array,
     best = jnp.argmax(scores)
     model = jax.tree.map(lambda m: m[best], models)
     inliers = inls[best]
+    final_score = scores[best]
     if refit is not None:
-        model2 = refit(model, inliers)
-        sc2, inl2 = score(model2)
-        better = sc2 >= scores[best]
-        model = jnp.where(better, model2, model)
-        inliers = jnp.where(better, inl2, inliers)
-        final_score = jnp.where(better, sc2, scores[best])
-    else:
-        final_score = scores[best]
+        for _ in range(refit_rounds):
+            model2 = refit(model, inliers)
+            sc2, inl2 = score(model2)
+            better = sc2 >= final_score
+            model = jnp.where(better, model2, model)
+            inliers = jnp.where(better, inl2, inliers)
+            final_score = jnp.where(better, sc2, final_score)
     return RansacResult(model=model, inliers=inliers, score=final_score,
                         n_inliers=jnp.sum(inliers.astype(jnp.int32)))
 
@@ -134,4 +136,5 @@ def ransac_fundamental(key: jax.Array, p1: jnp.ndarray, p2: jnp.ndarray,
     def refit(F, inl):
         return epipolar.fit_fundamental(p1, p2, inl.astype(p1.dtype), normalize="mad")
 
-    return ransac(key, fit, score, p1, p2, weights, n_samples, 8, refit)
+    return ransac(key, fit, score, p1, p2, weights, n_samples, 8, refit,
+                  refit_rounds=3)

@@ -46,7 +46,7 @@ from dr3_tpu.geometry.epipolar import (decompose_essential,
 from dr3_tpu.geometry.lie import SE3, SO3
 from dr3_tpu.geometry.ransac import ransac_fundamental
 from dr3_tpu.models.camera import Pinhole
-from dr3_tpu.ops import corners, match, pyramid
+from dr3_tpu.ops import corners, lk, match, pyramid
 from dr3_tpu.utils.config import Config
 from dr3_tpu.utils.timing import Monitor
 
@@ -89,18 +89,32 @@ class LegacySLAM:
                                         cfg_.min_corner_score,
                                         cfg_.fast_threshold)
             d = match.patch_descriptors(img, f.xy, f.valid)
-            return f.xy, f.valid, d
+            return pyr, f.xy, f.valid, d
 
         @jax.jit
-        def _geometry(key, d_prev, xy_prev, v_prev, d_cur, xy_cur, v_cur):
+        def _geometry(key, pyr_prev, d_prev, xy_prev, v_prev,
+                      pyr_cur, d_cur, xy_cur, v_cur):
             m = match.match_descriptors(d_prev, d_cur, v_prev, v_cur)
             p1 = xy_prev
             p2 = xy_cur[m.idx2]
+            # subpixel refinement of matched positions: integer-pixel corner
+            # pairs are too coarse for F estimation under forward motion, so
+            # a short LK polish (initialized at the match, level-0 only)
+            # recovers the subpixel correspondence before RANSAC
+            ref = lk.track_level(pyr_prev[0], pyr_cur[0], p1, p2,
+                                 half_window=5, iters=8, eps=1e-3)
+            p2 = jnp.where((ref[1] & (jnp.linalg.norm(ref[0] - p2, axis=-1)
+                                      < 2.0))[:, None], ref[0], p2)
             w = m.ok.astype(jnp.float32)
-            # reference estimate_F: 30 RANSAC iterations, 5 px inlier gate
-            # (src/two.cpp:55, 168-194)
-            res = ransac_fundamental(key, p1, p2, w, n_samples=30,
-                                     threshold=cfg_.ransac_threshold)
+            # reference estimate_F: Config::ransac_iters iterations, 5 px
+            # inlier gate (src/two.cpp:55 hardcodes 30; config.cpp:8 says 50
+            # — hypotheses are vmapped here so the larger value is free).
+            # ransac_fundamental scores with a chi-square gate
+            # dist^2 < 3.841 * sigma^2, so a raw px threshold tau maps to
+            # sigma = tau / sqrt(3.841) = tau / 1.96.
+            res = ransac_fundamental(key, p1, p2, w,
+                                     n_samples=max(cfg_.ransac_iters, 30),
+                                     sigma=cfg_.ransac_threshold / 1.96)
             inl = res.inliers & m.ok
             E = essential_from_fundamental(res.model, K)
             hyp = decompose_essential(E)
@@ -122,20 +136,20 @@ class LegacySLAM:
         self.monitor.tic("global")
         self.monitor.tic("frame")
         img_j = jnp.asarray(img, jnp.float32)
-        xy, valid, desc = self._detect_describe(img_j)
+        pyr, xy, valid, desc = self._detect_describe(img_j)
         self.monitor.toc("frame", block=desc)
         self.n_frames += 1
 
         if self._prev is None:
             n = int(xy.shape[0])
-            self._prev = (desc, xy, valid, np.full(n, -1, np.int64))
+            self._prev = (pyr, desc, xy, valid, np.full(n, -1, np.int64))
             self.monitor.toc("global")
             return None
 
-        d_p, xy_p, v_p, pid_p = self._prev
+        pyr_p, d_p, xy_p, v_p, pid_p = self._prev
         self.key, sub = jax.random.split(self.key)
         self.monitor.tic("match")
-        out = self._geometry(sub, d_p, xy_p, v_p, desc, xy, valid)
+        out = self._geometry(sub, pyr_p, d_p, xy_p, v_p, pyr, desc, xy, valid)
         (idx2, mok, inl, R, t, X, good, n_good, clear) = map(np.asarray, out)
         self.monitor.toc("match", block=out[0])
         # matching/F/triangulation run fused in one program; report the
@@ -172,7 +186,7 @@ class LegacySLAM:
                     self.point_obs.append(2)
                     pid_cur[j_cur] = len(self.points_w) - 1
 
-        self._prev = (desc, xy, valid, pid_cur)
+        self._prev = (pyr, desc, xy, valid, pid_cur)
         self.monitor.toc("global")
         return LegacyFrameResult(
             R=R, t=t, n_matches=int(mok.sum()), n_inliers=int(inl.sum()),

@@ -90,6 +90,44 @@ def test_bal_conversion_preserves_residuals(rng, tmp_path):
                                atol=1e-2)
 
 
+def _make_neg_z_bal(rng, n_cams=3, n_pts=50, f=500.0, pt_noise=0.0):
+    """A genuine BAL-convention scene: cameras look down -z (visible points
+    have z < 0 in the camera frame) and project u = -f * x/z (Snavely)."""
+    pts = np.stack([rng.uniform(-1, 1, n_pts), rng.uniform(-1, 1, n_pts),
+                    rng.uniform(-6, -4, n_pts)], axis=1)
+    cam_params = np.zeros((n_cams, 9))
+    cam_params[:, 3] = np.linspace(-0.2, 0.2, n_cams)  # t_x offsets, R = I
+    cam_params[:, 6] = f
+    obs_cam = np.repeat(np.arange(n_cams), n_pts).astype(np.int32)
+    obs_pt = np.tile(np.arange(n_pts), n_cams).astype(np.int32)
+    pc = pts[obs_pt] + cam_params[obs_cam, 3:6]  # camera-frame points, z<0
+    uv = -f * pc[:, :2] / pc[:, 2:3]
+    return BALData(cam_params, pts + pt_noise * rng.normal(size=pts.shape),
+                   obs_cam, obs_pt, uv)
+
+
+def test_bal_negative_z_cameras_are_valid(rng):
+    # regression: BAL's -z frame must convert to +z pinhole (S-conjugation),
+    # otherwise every observation fails linearize's z>0 mask and the solver
+    # silently no-ops on real BAL data
+    from dr3_tpu.ba.problem import linearize
+
+    bal = _make_neg_z_bal(rng)
+    prob = bal_to_problem(bal)
+    lin = linearize(prob)
+    assert bool(np.all(np.asarray(lin.valid)))
+    np.testing.assert_allclose(np.asarray(residuals_only(prob)), 0.0,
+                               atol=1e-2)
+
+
+def test_bal_negative_z_solve_reduces_cost(rng):
+    bal = _make_neg_z_bal(rng, pt_noise=0.05)
+    prob = bal_to_problem(bal)
+    res = bundle_adjust(prob, 15)
+    assert float(res.initial_cost) > 1.0  # the perturbation is visible
+    assert float(res.final_cost) < float(res.initial_cost) * 1e-2
+
+
 def test_bal_solver_reduces_cost_on_perturbed_problem(rng, tmp_path):
     # build a BAL file whose init is perturbed; the jitted Schur-LM should
     # pull the cost down by orders of magnitude (ba.cc's demo behavior)
