@@ -83,6 +83,8 @@ class Residuals(NamedTuple):
     Jp: jnp.ndarray       # [O, 2, 3] weighted d r / d point
     cost: jnp.ndarray     # [] robust cost
     valid: jnp.ndarray    # [O] finite & in-front mask
+    Jg: Optional[jnp.ndarray] = None  # [O, 2, 4] d r / d (fx, fy, cx, cy)
+                                      # when linearized with intrinsics
 
 
 def residuals_only(p: BAProblem, huber_delta: float = 5.0) -> jnp.ndarray:
@@ -94,7 +96,8 @@ def residuals_only(p: BAProblem, huber_delta: float = 5.0) -> jnp.ndarray:
     return project(p.intrinsics, xc) - p.obs_uv
 
 
-def linearize(p: BAProblem, huber_delta: float = 5.0) -> Residuals:
+def linearize(p: BAProblem, huber_delta: float = 5.0,
+              with_intrinsics: bool = False) -> Residuals:
     """Residuals + analytic Jacobians for every observation, batched.
 
     Left-multiplicative SE3 retraction: for T' = exp([rho, omega]) @ T,
@@ -102,6 +105,11 @@ def linearize(p: BAProblem, huber_delta: float = 5.0) -> Residuals:
     Robust weighting folds sqrt(Huber weight) * obs weight into r and J
     (standard IRLS form), so downstream code sees a plain least-squares
     problem.
+
+    ``with_intrinsics=True`` additionally returns the [O, 2, 4] Jacobian
+    w.r.t. the shared (fx, fy, cx, cy) block — the reference optimizes this
+    block as a variable parameter in global BA (src/optimizer.cpp:144-153,
+    functor AutoDiffCostFunction<ReprojectionError, 2, 4, 6, 3>).
     """
     q = p.cam_wxyz[p.obs_cam]
     t = p.cam_t[p.obs_cam]
@@ -146,8 +154,18 @@ def linearize(p: BAProblem, huber_delta: float = 5.0) -> Residuals:
                     huber_delta * (r_norm - 0.5 * huber_delta))
     cost = jnp.sum(p.obs_w * valid.astype(r.dtype) * rho)
 
+    Jg = None
+    if with_intrinsics:
+        # r = (fx * x/z + cx - u, fy * y/z + cy - v)
+        one = jnp.ones_like(x_z)
+        zr = jnp.zeros_like(x_z)
+        Jg = jnp.stack([
+            jnp.stack([x_z, zr, one, zr], -1),
+            jnp.stack([zr, y_z, zr, one], -1),
+        ], -2) * sw[..., None]
+
     return Residuals(r=r * sw, Jc=Jc * sw[..., None], Jp=Jp * sw[..., None],
-                     cost=cost, valid=valid)
+                     cost=cost, valid=valid, Jg=Jg)
 
 
 def _quat_to_matrix_batched(q: jnp.ndarray) -> jnp.ndarray:
@@ -156,11 +174,14 @@ def _quat_to_matrix_batched(q: jnp.ndarray) -> jnp.ndarray:
     return quat_to_matrix(quat_normalize(q))
 
 
-def apply_update(p: BAProblem, dcam: jnp.ndarray, dpt: jnp.ndarray) -> BAProblem:
+def apply_update(p: BAProblem, dcam: jnp.ndarray, dpt: jnp.ndarray,
+                 dintr: jnp.ndarray | None = None) -> BAProblem:
     """Retract camera tangents [K, 6] and add point deltas [P, 3]; fixed
-    cameras stay put."""
+    cameras stay put. ``dintr`` [4] additively updates the shared
+    (fx, fy, cx, cy) block when intrinsics are being optimized."""
     dcam = jnp.where(p.cam_fixed[:, None], 0.0, dcam)
     new_cams = SE3.exp(dcam) @ SE3(p.cam_wxyz, p.cam_t)
     new_cams = new_cams.normalize()
+    intr = p.intrinsics if dintr is None else p.intrinsics + dintr
     return p._replace(cam_wxyz=new_cams.wxyz, cam_t=new_cams.t,
-                      points=p.points + dpt)
+                      points=p.points + dpt, intrinsics=intr)

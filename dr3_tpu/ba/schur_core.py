@@ -1,0 +1,299 @@
+"""Observation-keyed Schur-complement solver core.
+
+The reduced camera system of bundle adjustment is
+
+    S dc = rhs,   S = Hcc - W Hpp^-1 W^T,
+
+where the coupling W is block-sparse with one [C, 3] block per observation
+(camera tangent dim C = 6 for SE3 cameras, 9 for Snavely cameras). The
+round-1 solver materialized W densely as [K, P, 6, 3] — O(K*P) memory,
+impossible at BAL scale (Ceres' DENSE_SCHUR never forms W densely either;
+reference src/optimizer.cpp:155-166 relies on Ceres' partitioned views).
+
+This core assembles everything **per observation** and offers two solves:
+
+* ``explicit`` — exact DENSE_SCHUR math. Observations are grouped by point
+  through a static-depth ``[P, d_max]`` index table; the cross-camera
+  correction sum_p W_(k1,p) Hpp^-1_p W_(k2,p)^T accumulates with a
+  ``fori_loop`` of segment-sums over observation *pairs* sharing a point.
+  Memory O(O + P*d_max + K^2 C^2). Right for window/pose-graph K (<= ~64).
+* ``pcg`` — matrix-free preconditioned conjugate gradients on S with the
+  block-Jacobi preconditioner (SCHUR_JACOBI — the reference's own choice,
+  src/optimizer.cpp:161). Memory O(O + K C^2); scales to BAL-sized camera
+  counts where the dense S Cholesky would dominate.
+
+An optional *global* parameter block g of size G (the shared fx/fy/cx/cy
+intrinsics the reference optimizes as a 4-param block,
+include/optimizer.hpp:114-118, src/optimizer.cpp:144-153) is eliminated
+jointly with the cameras in the explicit path: the reduced system becomes
+[(K*C + G) x (K*C + G)].
+
+Everything is static-shape, jit- and shard_map-safe; padding observations
+must carry zero rows in r/J (linearize folds weights in) and
+``active=False`` so they never consume point-table slots.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dr3_tpu.geometry.linalg import chol_solve_small, inv3x3
+
+
+class SchurBlocks(NamedTuple):
+    """Normal-equation blocks, observation-keyed (no dense W anywhere)."""
+
+    Hcc: jnp.ndarray            # [K, C, C] camera diagonal blocks
+    bc: jnp.ndarray             # [K, C]
+    Hpp: jnp.ndarray            # [P, 3, 3] point diagonal blocks
+    bp: jnp.ndarray             # [P, 3]
+    AtB: jnp.ndarray            # [O, C, 3] per-observation coupling blocks
+    obs_cam: jnp.ndarray        # [O] int32
+    obs_pt: jnp.ndarray         # [O] int32 (clamped to [0, P))
+    active: jnp.ndarray         # [O] bool — False rows are padding
+    Hgg: Optional[jnp.ndarray] = None   # [G, G] global block
+    Hgc: Optional[jnp.ndarray] = None   # [K, G, C] global-camera coupling
+    bg: Optional[jnp.ndarray] = None    # [G]
+    GtB: Optional[jnp.ndarray] = None   # [O, G, 3] global-point coupling
+
+
+def assemble_blocks(r, Jc, Jp, obs_cam, obs_pt, active, n_cams: int,
+                    n_points: int, Jg=None) -> SchurBlocks:
+    """One pass over the observation table -> all normal-equation blocks.
+
+    r [O, 2], Jc [O, 2, C], Jp [O, 2, 3] must already carry the robust /
+    validity weights (zero rows for padding), as produced by
+    :func:`dr3_tpu.ba.problem.linearize`.
+    """
+    oc = jnp.clip(obs_cam, 0, n_cams - 1)
+    op = jnp.clip(obs_pt, 0, n_points - 1)
+
+    AtA = jnp.einsum("oij,oik->ojk", Jc, Jc)
+    BtB = jnp.einsum("oij,oik->ojk", Jp, Jp)
+    AtB = jnp.einsum("oij,oik->ojk", Jc, Jp)
+    Atr = jnp.einsum("oij,oi->oj", Jc, r)
+    Btr = jnp.einsum("oij,oi->oj", Jp, r)
+
+    Hcc = jax.ops.segment_sum(AtA, oc, num_segments=n_cams)
+    Hpp = jax.ops.segment_sum(BtB, op, num_segments=n_points)
+    bc = -jax.ops.segment_sum(Atr, oc, num_segments=n_cams)
+    bp = -jax.ops.segment_sum(Btr, op, num_segments=n_points)
+
+    Hgg = Hgc = bg = GtB = None
+    if Jg is not None:
+        Hgg = jnp.einsum("oij,oik->jk", Jg, Jg)
+        GtA = jnp.einsum("oij,oik->ojk", Jg, Jc)            # [O, G, C]
+        Hgc = jax.ops.segment_sum(GtA, oc, num_segments=n_cams)
+        bg = -jnp.einsum("oij,oi->j", Jg, r)
+        GtB = jnp.einsum("oij,oik->ojk", Jg, Jp)            # [O, G, 3]
+
+    return SchurBlocks(Hcc=Hcc, bc=bc, Hpp=Hpp, bp=bp, AtB=AtB,
+                       obs_cam=oc, obs_pt=op, active=active,
+                       Hgg=Hgg, Hgc=Hgc, bg=bg, GtB=GtB)
+
+
+def group_by_point(obs_pt, active, n_points: int, d_max: int) -> jnp.ndarray:
+    """[P, d_max] table of observation indices per point (pad value = O).
+
+    Static-shape grouping: sort observations by point id (inactive rows sort
+    to a scratch bucket), rank each observation within its point via
+    searchsorted, scatter into the table. Observations beyond ``d_max`` per
+    point are dropped from the *pair* assembly only — pick d_max >= the max
+    observations any point can have (window problems: one per camera, so
+    d_max = K is exact).
+    """
+    O = obs_pt.shape[0]
+    eff = jnp.where(active, obs_pt, n_points).astype(jnp.int32)
+    order = jnp.argsort(eff)
+    sorted_pt = eff[order]
+    first = jnp.searchsorted(sorted_pt, sorted_pt, side="left")
+    rank = jnp.arange(O, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = (sorted_pt < n_points) & (rank < d_max)
+    rows = jnp.where(ok, sorted_pt, n_points)
+    cols = jnp.where(ok, rank, 0)
+    tbl = jnp.full((n_points + 1, d_max), O, jnp.int32)
+    tbl = tbl.at[rows, cols].set(order.astype(jnp.int32), mode="drop")
+    return tbl[:n_points]
+
+
+def _damp(H, lam, floor=1e-8):
+    n = H.shape[-1]
+    eye = jnp.eye(n, dtype=H.dtype)
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    return H + eye * (lam * diag + floor)[..., None, :]
+
+
+def _explicit_s_corr(WHinv_pad, AtB_pad, cam_pad, pt_table, n_cams: int):
+    """sum over observation pairs sharing a point of
+    WHinv_(o1) @ AtB_(o2)^T scattered to S[cam_o1, cam_o2] — the
+    W Hpp^-1 W^T correction, assembled without forming W.
+
+    *_pad arrays have one extra zero row at index O (the table's pad value),
+    so padded slots contribute exactly zero.
+    """
+    P, D = pt_table.shape
+    C = AtB_pad.shape[-2]
+    Wp = AtB_pad[pt_table]          # [P, D, C, 3]
+    WHp = WHinv_pad[pt_table]       # [P, D, C, 3]
+    cams_p = cam_pad[pt_table]      # [P, D] (pad rows -> cam 0, contrib 0)
+
+    def body(d1, s_flat):
+        wh1 = WHp[:, d1]                      # [P, C, 3]
+        c1 = cams_p[:, d1]                    # [P]
+        contrib = jnp.einsum("pij,pdkj->pdik", wh1, Wp)   # [P, D, C, C]
+        keys = (c1[:, None] * n_cams + cams_p).reshape(-1)
+        return s_flat + jax.ops.segment_sum(
+            contrib.reshape(-1, C, C), keys, num_segments=n_cams * n_cams)
+
+    s_flat = jax.lax.fori_loop(
+        0, D, body, jnp.zeros((n_cams * n_cams, C, C), AtB_pad.dtype))
+    # [K*K, C, C] -> [K, C, K, C]
+    return s_flat.reshape(n_cams, n_cams, C, C).transpose(0, 2, 1, 3)
+
+
+def _pad_obs(x):
+    return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+
+
+def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
+                method: str = "explicit", d_max: int | None = None,
+                jacobi: bool = True, cg_iters: int = 100,
+                cg_tol: float = 1e-5):
+    """One damped Schur solve -> (dc [K, C], dp [P, 3], dg [G] or None)."""
+    K, C = blocks.Hcc.shape[0], blocks.Hcc.shape[-1]
+    P = blocks.Hpp.shape[0]
+    has_g = blocks.Hgg is not None
+    G = blocks.Hgg.shape[0] if has_g else 0
+
+    Hpp_d = _damp(blocks.Hpp, lam)
+    Hcc_d = _damp(blocks.Hcc, lam)
+    Hpp_inv = inv3x3(Hpp_d)
+
+    Hinv_o = Hpp_inv[blocks.obs_pt]                          # [O, 3, 3]
+    WHinv = jnp.einsum("ocj,ojl->ocl", blocks.AtB, Hinv_o)   # [O, C, 3]
+    bp_o = blocks.bp[blocks.obs_pt]                          # [O, 3]
+    rhs_c = blocks.bc - jax.ops.segment_sum(
+        jnp.einsum("ocl,ol->oc", WHinv, bp_o), blocks.obs_cam,
+        num_segments=K)
+
+    keep = (~cam_fixed).astype(blocks.Hcc.dtype)
+    keep_v = jnp.repeat(keep, C)
+    if has_g:
+        keep_v = jnp.concatenate([keep_v, jnp.ones((G,), keep.dtype)])
+
+    if method == "explicit":
+        if d_max is None:
+            d_max = K
+        tbl = group_by_point(blocks.obs_pt, blocks.active, P, d_max)
+        S_corr = _explicit_s_corr(_pad_obs(WHinv), _pad_obs(blocks.AtB),
+                                  jnp.concatenate([blocks.obs_cam,
+                                                   jnp.zeros((1,), jnp.int32)]),
+                                  tbl, K)
+        S = -S_corr
+        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
+        S = S.reshape(K * C, K * C)
+        rhs = rhs_c.reshape(K * C)
+
+        if has_g:
+            Hgg_d = _damp(blocks.Hgg, lam)
+            Wg = jax.ops.segment_sum(blocks.GtB, blocks.obs_pt,
+                                     num_segments=P)          # [P, G, 3]
+            WgHinv = jnp.einsum("pgj,pjl->pgl", Wg, Hpp_inv)  # [P, G, 3]
+            S_gg = Hgg_d - jnp.einsum("pgl,phl->gh", WgHinv, Wg)
+            S_gc = blocks.Hgc - jax.ops.segment_sum(
+                jnp.einsum("ogl,ocl->ogc", WgHinv[blocks.obs_pt], blocks.AtB),
+                blocks.obs_cam, num_segments=K)               # [K, G, C]
+            rhs_g = blocks.bg - jnp.einsum("pgl,pl->g", WgHinv, blocks.bp)
+            Sgc_flat = S_gc.transpose(1, 0, 2).reshape(G, K * C)
+            S = jnp.block([[S, Sgc_flat.T], [Sgc_flat, S_gg]])
+            rhs = jnp.concatenate([rhs, rhs_g])
+
+        # gauge fixing: zero rows/cols of fixed cameras, identity diagonal
+        fixed_v = 1.0 - keep_v
+        S = S * keep_v[:, None] * keep_v[None, :] + jnp.diag(fixed_v)
+        rhs = rhs * keep_v
+
+        if jacobi:
+            d = jnp.sqrt(jnp.maximum(jnp.diag(S), 1e-12))
+            dinv = 1.0 / d
+            S = S * dinv[:, None] * dinv[None, :]
+            rhs = rhs * dinv
+        S = S + 1e-6 * jnp.eye(S.shape[0], dtype=S.dtype)
+        L = jnp.linalg.cholesky(S)
+        y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        if jacobi:
+            x = x * dinv
+        dc = x[:K * C].reshape(K, C)
+        dg = x[K * C:] if has_g else None
+
+    elif method == "pcg":
+        if has_g:
+            raise NotImplementedError("pcg path supports G=0 only")
+        dg = None
+        # SCHUR_JACOBI preconditioner: block diagonal of S (same-observation
+        # terms; reference src/optimizer.cpp:161)
+        M = Hcc_d - jax.ops.segment_sum(
+            jnp.einsum("ocl,odl->ocd", WHinv, blocks.AtB), blocks.obs_cam,
+            num_segments=K)
+        eyeC = jnp.eye(C, dtype=M.dtype)
+        M = jnp.where(cam_fixed[:, None, None], eyeC, M)
+        M = M + 1e-7 * eyeC
+
+        keep_c = keep[:, None]
+        fixed_c = 1.0 - keep_c
+
+        def s_mv(x):
+            xk = x * keep_c
+            u = jax.ops.segment_sum(
+                jnp.einsum("ocj,oc->oj", blocks.AtB, xk[blocks.obs_cam]),
+                blocks.obs_pt, num_segments=P)
+            v = jnp.einsum("pij,pj->pi", Hpp_inv, u)
+            y = jnp.einsum("kcd,kd->kc", Hcc_d, xk) - jax.ops.segment_sum(
+                jnp.einsum("ocj,oj->oc", blocks.AtB, v[blocks.obs_pt]),
+                blocks.obs_cam, num_segments=K)
+            return y * keep_c + x * fixed_c
+
+        def m_inv(r):
+            return chol_solve_small(M, r)
+
+        b = rhs_c * keep_c
+        bs = jnp.sum(b * b)
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        z0 = m_inv(r0)
+        p0 = z0
+        rz0 = jnp.sum(r0 * z0)
+
+        def cond(st):
+            i, x, r, p, rz = st
+            return (i < cg_iters) & (jnp.sum(r * r) > cg_tol**2 * bs)
+
+        def step(st):
+            i, x, r, p, rz = st
+            Ap = s_mv(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = m_inv(r)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            return i + 1, x, r, z + beta * p, rz_new
+
+        _, dc, _, _, _ = jax.lax.while_loop(cond, step,
+                                            (jnp.asarray(0), x0, r0, p0, rz0))
+    else:
+        raise ValueError(f"unknown schur method {method!r}")
+
+    # back-substitute points: dp = Hpp^-1 (bp - W^T dc - Wg^T dg)
+    u = jax.ops.segment_sum(
+        jnp.einsum("ocj,oc->oj", blocks.AtB, dc[blocks.obs_cam]),
+        blocks.obs_pt, num_segments=P)
+    if has_g:
+        Wg = jax.ops.segment_sum(blocks.GtB, blocks.obs_pt, num_segments=P)
+        u = u + jnp.einsum("pgj,g->pj", Wg, dg)
+    dp = jnp.einsum("pij,pj->pi", Hpp_inv, blocks.bp - u)
+    return dc, dp, dg

@@ -10,15 +10,22 @@ and cameras replicate:
 * per-device partial reduced systems  S_d = Hcc_d - W_d Hpp_d^-1 W_d^T and
   rhs_d combine with one ``psum`` over ICI (this is the reduce stage the
   reference's Ceres DENSE_SCHUR does on 8 CPU threads,
-  src/optimizer.cpp:155-166);
+  src/optimizer.cpp:155-166). The coupling W is never materialized — the
+  per-shard correction assembles observation-keyed (ba/schur_core.py), so
+  per-device memory is O(O/n + K^2), not O(K * P/n);
 * the [6K, 6K] reduced camera solve is tiny and runs replicated — no
   broadcast needed afterward;
 * point back-substitution is local (zero communication).
 
 Per LM iteration the only collectives are: psum of the partial S/rhs
 ([6K,6K]+[6K]) and psum of the scalar cost — bandwidth independent of P.
-Everything runs under one ``shard_map``; the host wrapper partitions the
-observation table once and reassembles results.
+
+Compile hygiene: the shard_map-ped LM program is built **once per
+(mesh, shapes, hyperparameters)** through an lru_cache and wrapped in
+``jax.jit``, so per-keyframe calls from the VO driver reuse the compiled
+executable instead of retracing (round-1 rebuilt the shard_map every call).
+Shard observation capacity is rounded up to a power of two, so retraces
+happen only when per-shard load crosses a doubling boundary.
 """
 
 from __future__ import annotations
@@ -32,6 +39,8 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from dr3_tpu.ba.problem import BAProblem, apply_update, linearize
+from dr3_tpu.ba.schur_core import (_explicit_s_corr, _pad_obs,
+                                   assemble_blocks, group_by_point)
 from dr3_tpu.ba.schur_lm import BAResult
 from dr3_tpu.geometry.linalg import inv3x3
 from dr3_tpu.parallel.mesh import POINT_AXIS, make_mesh
@@ -49,42 +58,56 @@ class ShardedProblem(NamedTuple):
     point_perm: np.ndarray       # [n * P_loc] original index per padded slot (-1 pad)
 
 
+def _round_pow2(x: int) -> int:
+    return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
+
+
 def partition_problem(p: BAProblem, n_shards: int) -> ShardedProblem:
-    """Co-partition points and their observations across shards (host-side,
-    done once per problem build; obs of point i go to i's shard)."""
+    """Co-partition points and their observations across shards (vectorized
+    host-side pass; obs of point i go to i's shard)."""
     P_tot = p.n_points
     p_loc = -(-P_tot // n_shards)
-    pt_shard = np.arange(P_tot) // p_loc  # contiguous blocks
 
-    points = np.zeros((n_shards, p_loc, 3), np.float32)
-    perm = np.full((n_shards, p_loc), -1, np.int64)
-    pts_np = np.array(p.points)
-    for s in range(n_shards):
-        idx = np.nonzero(pt_shard == s)[0]
-        points[s, : len(idx)] = pts_np[idx]
-        perm[s, : len(idx)] = idx
+    pts_np = np.array(p.points, np.float32)
+    pad = n_shards * p_loc - P_tot
+    points = np.concatenate([pts_np, np.zeros((pad, 3), np.float32)]
+                            ).reshape(n_shards, p_loc, 3)
+    perm = np.concatenate([np.arange(P_tot, dtype=np.int64),
+                           np.full(pad, -1, np.int64)])
 
     obs_cam = np.array(p.obs_cam)
     obs_pt = np.array(p.obs_pt)
-    obs_uv = np.array(p.obs_uv)
-    obs_w = np.array(p.obs_w)
-    shard_of_obs = pt_shard[obs_pt]
-    counts = [int((shard_of_obs == s).sum()) for s in range(n_shards)]
-    o_loc = max(1, max(counts))
+    obs_uv = np.array(p.obs_uv, np.float32)
+    obs_w = np.array(p.obs_w, np.float32)
+    shard_of_obs = np.clip(obs_pt, 0, P_tot - 1) // p_loc
+    # inactive (weight-0) rows spread round-robin so they never skew one
+    # shard's capacity
+    inactive = obs_w <= 0
+    if inactive.any():
+        shard_of_obs = shard_of_obs.copy()
+        shard_of_obs[inactive] = np.arange(int(inactive.sum())) % n_shards
+
+    counts = np.bincount(shard_of_obs, minlength=n_shards)
+    # power-of-two capacity: stable shapes across calls unless load doubles
+    o_loc = min(_round_pow2(int(counts.max())), len(obs_cam))
+    o_loc = max(o_loc, 1)
+
+    order = np.argsort(shard_of_obs, kind="stable")
+    s_sorted = shard_of_obs[order]
+    starts = np.searchsorted(s_sorted, np.arange(n_shards))
+    pos = np.arange(len(order)) - starts[s_sorted]
 
     oc = np.zeros((n_shards, o_loc), np.int32)
     op = np.zeros((n_shards, o_loc), np.int32)
     ouv = np.zeros((n_shards, o_loc, 2), np.float32)
     ow = np.zeros((n_shards, o_loc), np.float32)  # padding weight 0
-    for s in range(n_shards):
-        idx = np.nonzero(shard_of_obs == s)[0]
-        k = len(idx)
-        oc[s, :k] = obs_cam[idx]
-        op[s, :k] = obs_pt[idx] - s * p_loc  # local point index
-        ouv[s, :k] = obs_uv[idx]
-        ow[s, :k] = obs_w[idx]
+    oc[s_sorted, pos] = obs_cam[order]
+    op[s_sorted, pos] = np.clip(obs_pt[order], 0, P_tot - 1) - s_sorted * p_loc
+    np.clip(op, 0, p_loc - 1, out=op)
+    ouv[s_sorted, pos] = obs_uv[order]
+    ow[s_sorted, pos] = obs_w[order]
     return ShardedProblem(base=p, points=points, obs_cam=oc, obs_pt_local=op,
-                          obs_uv=ouv, obs_w=ow, point_perm=perm.reshape(-1))
+                          obs_uv=ouv, obs_w=ow, point_perm=perm)
 
 
 def _local_problem(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow) -> BAProblem:
@@ -99,7 +122,6 @@ def _dist_ba_shardfn(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow,
     pts_l, oc, op, ouv, ow = (x[0] for x in (pts_l, oc, op, ouv, ow))
     K = cam_wxyz.shape[0]
     P_loc = pts_l.shape[0]
-    eye3 = jnp.eye(3, dtype=pts_l.dtype)
     eye6 = jnp.eye(6, dtype=pts_l.dtype)
 
     def total_cost(prob):
@@ -109,34 +131,31 @@ def _dist_ba_shardfn(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow,
         cw, ct, pts, lam, best_cost, n_acc = state
         prob = _local_problem(cw, ct, intr, cam_fixed, pts, oc, op, ouv, ow)
         res = linearize(prob, huber_delta)
+        active = (ow > 0) & res.valid
+        blocks = assemble_blocks(res.r, res.Jc, res.Jp, oc, op, active,
+                                 K, P_loc)
 
-        AtA = jnp.einsum("oij,oik->ojk", res.Jc, res.Jc)
-        BtB = jnp.einsum("oij,oik->ojk", res.Jp, res.Jp)
-        AtB = jnp.einsum("oij,oik->ojk", res.Jc, res.Jp)
-        Atr = jnp.einsum("oij,oi->oj", res.Jc, res.r)
-        Btr = jnp.einsum("oij,oi->oj", res.Jp, res.r)
-
-        Hcc_part = jax.ops.segment_sum(AtA, oc, num_segments=K)
-        bc_part = -jax.ops.segment_sum(Atr, oc, num_segments=K)
-        Hpp = jax.ops.segment_sum(BtB, op, num_segments=P_loc)
-        bp = -jax.ops.segment_sum(Btr, op, num_segments=P_loc)
-        W = jnp.zeros((K, P_loc, 6, 3), AtB.dtype).at[oc, op].add(AtB)
-
-        Hpp_d = Hpp + eye3 * (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1)
-                              + 1e-8)[..., None, :]
+        Hpp_d = blocks.Hpp + jnp.eye(3, dtype=pts.dtype) * (
+            lam * jnp.diagonal(blocks.Hpp, axis1=-2, axis2=-1) + 1e-8)[..., None, :]
         Hpp_inv = inv3x3(Hpp_d)
-        WHinv = jnp.einsum("kpij,pjl->kpil", W, Hpp_inv)
-        S_off_part = jnp.einsum("kpil,qpml->kiqm", WHinv, W)
-        rhs_corr_part = jnp.einsum("kpil,pl->ki", WHinv, bp)
+        WHinv = jnp.einsum("ocj,ojl->ocl", blocks.AtB, Hpp_inv[blocks.obs_pt])
+        rhs_corr_part = jax.ops.segment_sum(
+            jnp.einsum("ocl,ol->oc", WHinv, blocks.bp[blocks.obs_pt]),
+            blocks.obs_cam, num_segments=K)
+        tbl = group_by_point(blocks.obs_pt, blocks.active, P_loc, K)
+        S_corr_part = _explicit_s_corr(
+            _pad_obs(WHinv), _pad_obs(blocks.AtB),
+            jnp.concatenate([blocks.obs_cam, jnp.zeros((1,), jnp.int32)]),
+            tbl, K)
 
         # the ONE communication step per iteration: combine partial reduced
         # systems over ICI
-        Hcc, bc, S_off, rhs_corr = jax.lax.psum(
-            (Hcc_part, bc_part, S_off_part, rhs_corr_part), POINT_AXIS)
+        Hcc, bc, S_corr, rhs_corr = jax.lax.psum(
+            (blocks.Hcc, blocks.bc, S_corr_part, rhs_corr_part), POINT_AXIS)
 
         Hcc_d = Hcc + eye6 * (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1)
                               + 1e-8)[..., None, :]
-        S = -S_off
+        S = -S_corr
         S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
         rhs = (bc - rhs_corr).reshape(K * 6)
         S = S.reshape(K * 6, K * 6)
@@ -154,8 +173,10 @@ def _dist_ba_shardfn(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow,
               ).reshape(K, 6)
 
         # local back-substitution (no comms)
-        Wt_dc = jnp.einsum("kpil,ki->pl", W, dc)
-        dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - Wt_dc)
+        u = jax.ops.segment_sum(
+            jnp.einsum("ocj,oc->oj", blocks.AtB, dc[blocks.obs_cam]),
+            blocks.obs_pt, num_segments=P_loc)
+        dp = jnp.einsum("pij,pj->pi", Hpp_inv, blocks.bp - u)
 
         newp = apply_update(prob, dc, dp)
         new_cost = total_cost(newp)
@@ -176,14 +197,10 @@ def _dist_ba_shardfn(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow,
     return cw, ct, pts[None], cost0, cost, n_acc, lam
 
 
-def dist_bundle_adjust(problem: BAProblem, n_devices: int | None = None,
-                       max_iters: int = 20, huber_delta: float = 5.0,
-                       lambda0: float = 1e-3, mesh=None) -> BAResult:
-    """Drop-in distributed counterpart of ba.bundle_adjust."""
-    mesh = mesh or make_mesh(n_devices)
-    n = mesh.devices.size
-    sp = partition_problem(problem, n)
-
+@functools.lru_cache(maxsize=32)
+def _build_dist_ba(mesh, max_iters: int, huber_delta: float, lambda0: float):
+    """One compiled executable per (mesh, hyperparameters); jit reuses it for
+    every problem with matching shapes — zero retrace per keyframe."""
     fn = functools.partial(_dist_ba_shardfn, max_iters=max_iters,
                            huber_delta=huber_delta, lambda0=lambda0)
     shard = P(POINT_AXIS)
@@ -194,6 +211,19 @@ def dist_bundle_adjust(problem: BAProblem, n_devices: int | None = None,
         out_specs=(rep, rep, shard, rep, rep, rep, rep),
         check_vma=False,
     )
+    return jax.jit(mapped)
+
+
+def dist_bundle_adjust(problem: BAProblem, n_devices: int | None = None,
+                       max_iters: int = 20, huber_delta: float = 5.0,
+                       lambda0: float = 1e-3, mesh=None) -> BAResult:
+    """Drop-in distributed counterpart of ba.bundle_adjust."""
+    mesh = mesh or make_mesh(n_devices)
+    n = mesh.devices.size
+    sp = partition_problem(problem, n)
+
+    mapped = _build_dist_ba(mesh, max_iters, float(huber_delta),
+                            float(lambda0))
     cw, ct, pts_sharded, cost0, cost, n_acc, lam = mapped(
         problem.cam_wxyz, problem.cam_t, problem.intrinsics, problem.cam_fixed,
         jnp.asarray(sp.points), jnp.asarray(sp.obs_cam),
