@@ -105,8 +105,8 @@ def _bil(reg, off_y, off_x, fy_, fx_, size):
 
 
 def _lk_kernel(meta_ref, img_prev_ref, img_next_ref, pos_ref, ok_ref, err_ref,
-               *, half: int, iters: int, min_eig: float, variant: str,
-               batch: int):
+               *, half: int, iters: int, eps: float, min_eig: float,
+               variant: str, batch: int):
     """One grid step = ``batch`` tracks whose GN chains share one loop, so
     the per-iteration loads of independent tracks interleave and hide each
     other's latency. Coordinates are in *padded* image space. meta_ref
@@ -164,11 +164,15 @@ def _lk_kernel(meta_ref, img_prev_ref, img_next_ref, pos_ref, ok_ref, err_ref,
 
     # every aligned load must stay inside the padded image even when a GN
     # step diverges — clamp iterates after every update (a clamped-out
-    # track reads replicated border pixels and fails the ok gate later)
+    # track reads replicated border pixels and fails the ok gate later).
+    # eps-freeze matches ops/lk.py:95-97: once a track's step falls under
+    # eps it stops moving (previous-iteration flag gates the step).
+    eps2 = float(eps) * float(eps)
+
     def body(_, state):
         out = []
         for j in range(batch):
-            cx, cy = state[2 * j], state[2 * j + 1]
+            cx, cy, cv = state[3 * j], state[3 * j + 1], state[3 * j + 2]
             I = load_target(cx, cy)
             r = I - Ts[j]
             bx_ = jnp.sum(r * gxs[j])
@@ -176,16 +180,20 @@ def _lk_kernel(meta_ref, img_prev_ref, img_next_ref, pos_ref, ok_ref, err_ref,
             gxx, gxy, gyy, det_safe = csts[j]
             dx = (gyy * bx_ - gxy * by_) / det_safe
             dy = (gxx * by_ - gxy * bx_) / det_safe
-            out.append(jnp.clip(cx - dx, lo_x, hi_x))
-            out.append(jnp.clip(cy - dy, lo_y, hi_y))
+            live = 1.0 - cv
+            out.append(jnp.clip(cx - dx * live, lo_x, hi_x))
+            out.append(jnp.clip(cy - dy * live, lo_y, hi_y))
+            out.append(jnp.maximum(cv, (dx * dx + dy * dy < eps2)
+                                   .astype(jnp.float32)))
         return tuple(out)
 
-    state0 = tuple(v for pair in inits for v in pair)
+    state0 = tuple(v for pair in inits
+                   for v in (pair[0], pair[1], jnp.float32(0.0)))
     state = jax.lax.fori_loop(0, iters, body, state0)
 
     for j in range(batch):
         i = step * batch + j
-        cx, cy = state[2 * j], state[2 * j + 1]
+        cx, cy = state[3 * j], state[3 * j + 1]
         I = load_target(cx, cy)
         err = jnp.mean(jnp.abs(I - Ts[j])) * 255.0
         pos_ref[pl.ds(i, 1), :] = jnp.stack([cx, cy]).reshape(1, 2)
@@ -214,10 +222,11 @@ def _pad_image(img):
     return jnp.pad(img, ((PAD, ph - h - PAD), (PAD, pw - w - PAD)), mode="edge")
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def track_level_pallas(img_prev, img_next, pts_prev, guess,
                        half_window: int = 7, iters: int = 10,
-                       min_eig: float = 1e-4, interpret: bool = False,
+                       eps: float = 1e-2, min_eig: float = 1e-4,
+                       interpret: bool = False,
                        variant: str = "roll", batch: int = 4):
     """Pallas counterpart of ops.lk.track_level (inverse-compositional GN).
 
@@ -255,7 +264,8 @@ def track_level_pallas(img_prev, img_next, pts_prev, guess,
         ),
     )
     kernel = functools.partial(_lk_kernel, half=half_window, iters=iters,
-                               min_eig=min_eig, variant=variant, batch=batch)
+                               eps=eps, min_eig=min_eig, variant=variant,
+                               batch=batch)
     pos, ok, err = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -295,8 +305,8 @@ def track_pyramid_pallas(pyr_prev: List[jnp.ndarray], pyr_next: List[jnp.ndarray
     for lvl in range(n_levels - 1, -1, -1):
         pts_l = pts / (2.0 ** lvl)
         pos, ok, err = track_level_pallas(pyr_prev[lvl], pyr_next[lvl], pts_l,
-                                          guess, half_window, iters, 1e-4,
-                                          interpret, variant, batch)
+                                          guess, half_window, iters, eps,
+                                          1e-4, interpret, variant, batch)
         ok_all = ok_all & ok
         guess = pos * 2.0 if lvl > 0 else pos
     ok_final = ok_all & valid & (err < max_err)

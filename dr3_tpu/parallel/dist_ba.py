@@ -117,15 +117,18 @@ def _local_problem(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow) -> 
 
 
 def _dist_ba_shardfn(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow,
-                     max_iters: int, huber_delta: float, lambda0: float):
-    """Runs on each device under shard_map; *_l args are the local shard."""
+                     max_iters: int, huber_delta: float, lambda0: float,
+                     axes=POINT_AXIS):
+    """Runs on each device under shard_map; *_l args are the local shard.
+    ``axes`` = mesh axis name(s) the points shard over; on a 2-level
+    [hosts, points] mesh the psum reduces over ICI first, then DCN."""
     pts_l, oc, op, ouv, ow = (x[0] for x in (pts_l, oc, op, ouv, ow))
     K = cam_wxyz.shape[0]
     P_loc = pts_l.shape[0]
     eye6 = jnp.eye(6, dtype=pts_l.dtype)
 
     def total_cost(prob):
-        return jax.lax.psum(linearize(prob, huber_delta).cost, POINT_AXIS)
+        return jax.lax.psum(linearize(prob, huber_delta).cost, axes)
 
     def body(_, state):
         cw, ct, pts, lam, best_cost, n_acc = state
@@ -151,7 +154,7 @@ def _dist_ba_shardfn(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow,
         # the ONE communication step per iteration: combine partial reduced
         # systems over ICI
         Hcc, bc, S_corr, rhs_corr = jax.lax.psum(
-            (blocks.Hcc, blocks.bc, S_corr_part, rhs_corr_part), POINT_AXIS)
+            (blocks.Hcc, blocks.bc, S_corr_part, rhs_corr_part), axes)
 
         Hcc_d = Hcc + eye6 * (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1)
                               + 1e-8)[..., None, :]
@@ -194,21 +197,27 @@ def _dist_ba_shardfn(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow,
     init = (cam_wxyz, cam_t, pts_l, jnp.asarray(lambda0, jnp.float32), cost0,
             jnp.asarray(0, jnp.int32))
     cw, ct, pts, lam, cost, n_acc = jax.lax.fori_loop(0, max_iters, body, init)
-    return cw, ct, pts[None], cost0, cost, n_acc, lam
+    # gather refined points to every device: [n * P_loc, 3] in shard order.
+    # O(P) once per solve; makes outputs fully addressable on every process
+    # of a multi-host run (and costs ~nothing single-host).
+    pts_full = jax.lax.all_gather(pts, axes, axis=0, tiled=True)
+    return cw, ct, pts_full, cost0, cost, n_acc, lam
 
 
 @functools.lru_cache(maxsize=32)
 def _build_dist_ba(mesh, max_iters: int, huber_delta: float, lambda0: float):
     """One compiled executable per (mesh, hyperparameters); jit reuses it for
     every problem with matching shapes — zero retrace per keyframe."""
+    axes = tuple(mesh.axis_names)
     fn = functools.partial(_dist_ba_shardfn, max_iters=max_iters,
-                           huber_delta=huber_delta, lambda0=lambda0)
-    shard = P(POINT_AXIS)
+                           huber_delta=huber_delta, lambda0=lambda0,
+                           axes=axes)
+    shard = P(axes)
     rep = P()
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(rep, rep, rep, rep, shard, shard, shard, shard, shard),
-        out_specs=(rep, rep, shard, rep, rep, rep, rep),
+        out_specs=(rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
     return jax.jit(mapped)
@@ -224,11 +233,31 @@ def dist_bundle_adjust(problem: BAProblem, n_devices: int | None = None,
 
     mapped = _build_dist_ba(mesh, max_iters, float(huber_delta),
                             float(lambda0))
-    cw, ct, pts_sharded, cost0, cost, n_acc, lam = mapped(
-        problem.cam_wxyz, problem.cam_t, problem.intrinsics, problem.cam_fixed,
-        jnp.asarray(sp.points), jnp.asarray(sp.obs_cam),
-        jnp.asarray(sp.obs_pt_local), jnp.asarray(sp.obs_uv),
-        jnp.asarray(sp.obs_w))
+
+    if jax.process_count() > 1:
+        # multi-controller: every process computed the identical partition;
+        # feed it as *global* arrays (sharded inputs split by the mesh,
+        # replicated inputs whole)
+        from jax.sharding import NamedSharding
+
+        sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        rp = NamedSharding(mesh, P())
+
+        def g(a, sharding):
+            a = np.asarray(a)
+            return jax.make_array_from_callback(a.shape, sharding,
+                                                lambda idx: a[idx])
+
+        args = (g(problem.cam_wxyz, rp), g(problem.cam_t, rp),
+                g(problem.intrinsics, rp), g(problem.cam_fixed, rp),
+                g(sp.points, sh), g(sp.obs_cam, sh), g(sp.obs_pt_local, sh),
+                g(sp.obs_uv, sh), g(sp.obs_w, sh))
+    else:
+        args = (problem.cam_wxyz, problem.cam_t, problem.intrinsics,
+                problem.cam_fixed, jnp.asarray(sp.points),
+                jnp.asarray(sp.obs_cam), jnp.asarray(sp.obs_pt_local),
+                jnp.asarray(sp.obs_uv), jnp.asarray(sp.obs_w))
+    cw, ct, pts_sharded, cost0, cost, n_acc, lam = mapped(*args)
 
     # reassemble points into original order
     flat = np.array(pts_sharded).reshape(-1, 3)

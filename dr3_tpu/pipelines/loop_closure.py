@@ -141,6 +141,47 @@ def db_add(db: LoopDatabase, slot, entry: LoopEntry, wxyz, t,
 
 
 @jax.jit
+def db_compact(db: LoopDatabase, keep: jnp.ndarray):
+    """Compact the database to the ``keep``-marked entries, preserving time
+    order (slot order = time order is what optimize_db_graph's sequential
+    odometry edges rely on). Returns (new_db, old_to_new [C] int32 with -1
+    for evicted slots, n_kept).
+
+    This is the capacity policy for unbounded sequences: when the append
+    cursor hits capacity the driver halves temporal density (keep every
+    other old keyframe, always keep the newest few) and keeps appending —
+    place recognition stays able to close loops against the *whole* past,
+    just at coarser sampling, instead of silently ignoring new keyframes.
+    """
+    C = keep.shape[0]
+    keep = keep & db.valid
+    idx = jnp.arange(C, dtype=jnp.int32)
+    order = jnp.argsort(jnp.where(keep, idx, C + idx))  # kept first, in order
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    new_valid = idx < n_keep
+    old_to_new = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, -1)
+
+    def g(arr, fill):
+        out = arr[order]
+        m = new_valid.reshape((C,) + (1,) * (arr.ndim - 1))
+        return jnp.where(m, out, jnp.asarray(fill, arr.dtype))
+
+    ident = jnp.zeros((C, 4), db.wxyz.dtype).at[:, 0].set(1.0)
+    return LoopDatabase(
+        thumb=g(db.thumb, 0.0),
+        kp_desc=g(db.kp_desc, 0.0),
+        kp_px=g(db.kp_px, 0.0),
+        kp_xyz=g(db.kp_xyz, 0.0),
+        kp_point=g(db.kp_point, -1),
+        kp_has=g(db.kp_has, False),
+        wxyz=jnp.where(new_valid[:, None], db.wxyz[order], ident),
+        t=g(db.t, 0.0),
+        frame_id=g(db.frame_id, -1),
+        valid=new_valid,
+    ), old_to_new.astype(jnp.int32), n_keep
+
+
+@jax.jit
 def db_query(db: LoopDatabase, thumb: jnp.ndarray, frame_id, min_gap,
              min_score):
     """Best loop candidate: argmax ZNCC over keyframes at least ``min_gap``

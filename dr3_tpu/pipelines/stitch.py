@@ -75,6 +75,22 @@ def find_correspondences(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
     return p1, p2, w.astype(left_gray.dtype)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _pair_program(lg, rg, key, cfg: Config, translate_only: bool):
+    """The whole correspondence + RANSAC stage as ONE jitted program:
+    per-pair eager dispatch costs ~10 ms/op through the TPU relay, and
+    every panorama pair shares the same image shape. Module-level (keyed on
+    the frozen Config + mode, both hashable) so compiles are shared across
+    Stitch *instances* — Panorama constructs a new Stitch per run and must
+    not pay a recompile."""
+    p1, p2, w = find_correspondences(lg, rg, cfg)
+    # reference uses 500 iters for stitching (stitch.hpp:50-52)
+    res = ransac_homography(key, p1, p2, w, n_samples=500,
+                            threshold=cfg.ransac_threshold,
+                            translate_only=translate_only)
+    return p1, p2, w, res
+
+
 class Stitch:
     """Pairwise aligner (reference Stitch, src/stitch.cpp)."""
 
@@ -86,22 +102,6 @@ class Stitch:
         self.translate_only = translate_only
         self.focal_length = focal_length
         self.key = jax.random.PRNGKey(seed)
-        # the whole correspondence + RANSAC stage is ONE jitted program:
-        # per-pair eager dispatch costs ~10 ms/op through the TPU relay, and
-        # every panorama pair shares the same image shape, so this compiles
-        # once and each align_pair is a single device call.
-        cfg_, t_ = self.cfg, translate_only
-
-        @jax.jit
-        def _pair_program(lg, rg, key):
-            p1, p2, w = find_correspondences(lg, rg, cfg_)
-            # reference uses 500 iters for stitching (stitch.hpp:50-52)
-            res = ransac_homography(key, p1, p2, w, n_samples=500,
-                                    threshold=cfg_.ransac_threshold,
-                                    translate_only=t_)
-            return p1, p2, w, res
-
-        self._pair_program = _pair_program
 
     def align_pair(self, left: np.ndarray, right: np.ndarray) -> PairAlignment:
         """Estimate H mapping left pixels into right pixels
@@ -109,7 +109,8 @@ class Stitch:
         lg = jnp.asarray(to_gray(left))
         rg = jnp.asarray(to_gray(right))
         self.key, sub = jax.random.split(self.key)
-        p1, p2, w, res = self._pair_program(lg, rg, sub)
+        p1, p2, w, res = _pair_program(lg, rg, sub, self.cfg,
+                                       self.translate_only)
         return PairAlignment(
             H=np.array(res.model), n_inliers=int(res.n_inliers),
             n_matches=int(jnp.sum(w > 0)), p_left=np.array(p1),

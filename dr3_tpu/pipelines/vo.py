@@ -284,7 +284,8 @@ def _local_ba(kfs: KeyframeState, map_state: MapState, intr, cfg: Config,
               max_iters: int):
     """Single-device sliding-window BA from keyframe snapshots."""
     prob = _window_problem(kfs, map_state, intr)
-    res = bundle_adjust(prob, max_iters, cfg.ba_huber_delta, True, cfg.ba_lambda0)
+    res = bundle_adjust(prob, max_iters, cfg.ba_huber_delta,
+                        cfg.ba_jacobi_scaling, cfg.ba_lambda0)
     kfs2 = kfs._replace(wxyz=res.problem.cam_wxyz, t=res.problem.cam_t)
     # only observed points moved; masked updates keep the rest
     map2 = map_state._replace(xyz=res.problem.points)
@@ -335,7 +336,8 @@ class MonoVO:
         self.cfg = cfg or Config()
         n_cols = -(-cam.width // self.cfg.cell_size)
         n_rows = -(-cam.height // self.cfg.cell_size)
-        self.n_tracks = n_cols * n_rows
+        # one track slot per grid cell, capped by the max_corners capacity
+        self.n_tracks = min(n_cols * n_rows, self.cfg.max_corners)
         self.key = jax.random.PRNGKey(seed)
         self.monitor = Monitor()
         self.reset()
@@ -454,6 +456,10 @@ class MonoVO:
             self._log_stats("first", 0, 0, False)
             return
         half = (self.cfg.feature_align_patch - 1) // 2
+        if feats.xy.shape[0] > self.n_tracks:
+            # capacity cap (Config.max_corners) below the grid cell count:
+            # keep the first n_tracks cells (raster order)
+            feats = jax.tree.map(lambda a: a[:self.n_tracks], feats)
         self.tracks = TrackState(
             px=feats.xy, ref_px=feats.xy,
             ref_kf=jnp.zeros((self.n_tracks,), jnp.int32),
@@ -642,10 +648,11 @@ class MonoVO:
         self.monitor.tic("local_BA")
         if self.mesh is not None:
             self.kfs, self.map, c0, c1 = _local_ba_distributed(
-                self.kfs, self.map, self.intr, cfg, 8, self.mesh)
+                self.kfs, self.map, self.intr, cfg, cfg.ba_max_iters,
+                self.mesh)
         else:
-            self.kfs, self.map, c0, c1 = _local_ba(self.kfs, self.map,
-                                                   self.intr, cfg, 8)
+            self.kfs, self.map, c0, c1 = _local_ba(
+                self.kfs, self.map, self.intr, cfg, cfg.ba_max_iters)
         self.monitor.toc("local_BA", block=self.map.xyz)
         # current pose = the just-optimized keyframe pose
         self.T_cur = SE3(self.kfs.wxyz[slot], self.kfs.t[slot])
@@ -653,11 +660,33 @@ class MonoVO:
     # -- loop closure (pipelines/loop_closure.py) --------------------------
     def _loop_db_insert(self, pyr):
         """Append the just-made keyframe to the loop/global-BA database.
-        Returns (slot, entry) or (None, None) when disabled/full."""
+        Returns (slot, entry), or (None, None) when loop closure is off.
+        When the database is full it halves temporal density (keep every
+        other old keyframe + the newest 8) and keeps appending, so closures
+        still fire on sequences far longer than loop_db_capacity."""
         from dr3_tpu.pipelines import loop_closure as lc
         cfg = self.cfg
-        if self.loop_db is None or self.db_cursor >= cfg.loop_db_capacity:
-            return None, None  # full: append-only ring is a round-2 item
+        if self.loop_db is None:
+            return None, None
+        if self.db_cursor >= cfg.loop_db_capacity:
+            cap = cfg.loop_db_capacity
+            keep = np.zeros(cap, bool)
+            keep[::2] = True
+            # always keep the newest few, but never so many that the
+            # compaction stops freeing slots
+            tail = max(1, min(8, cap // 4))
+            keep[cap - tail:] = True
+            new_db, old2new, n_keep = lc.db_compact(self.loop_db,
+                                                    jnp.asarray(keep))
+            self.loop_db = new_db
+            o2n = np.array(old2new)
+            # remap accepted loop edges; edges touching an evicted keyframe
+            # are dropped (their correction already lives in the poses)
+            self.loop_edges = [
+                (int(o2n[i]), int(o2n[j]), q, t)
+                for (i, j, q, t) in self.loop_edges
+                if o2n[i] >= 0 and o2n[j] >= 0]
+            self.db_cursor = int(n_keep)
         entry = lc.make_entry(pyr[-1], pyr[0], self.tracks, self.map, cfg)
         slot = self.db_cursor
         self.loop_db = lc.db_add(
@@ -781,8 +810,8 @@ class MonoVO:
                                      huber_delta=cfg.ba_huber_delta,
                                      lambda0=cfg.ba_lambda0, mesh=self.mesh)
         else:
-            res = bundle_adjust(prob, max_iters, cfg.ba_huber_delta, True,
-                                cfg.ba_lambda0)
+            res = bundle_adjust(prob, max_iters, cfg.ba_huber_delta,
+                                cfg.ba_jacobi_scaling, cfg.ba_lambda0)
         poses_new = SE3(res.problem.cam_wxyz, res.problem.cam_t)
         self.map = self.map._replace(xyz=res.problem.points)
         old_fid = np.array(db.frame_id)

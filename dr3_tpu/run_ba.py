@@ -53,6 +53,10 @@ def main(argv=None):
 
     enable_persistent_cache()
 
+    from dr3_tpu.parallel.mesh import distributed_init
+
+    distributed_init()  # multi-host launch contract (no-op single-process)
+
     import jax
 
     if args.cpu:

@@ -41,6 +41,10 @@ def main(argv=None):
 
     enable_persistent_cache()
 
+    from dr3_tpu.parallel.mesh import distributed_init
+
+    distributed_init()  # multi-host launch contract (no-op single-process)
+
     from dr3_tpu.io.kitti import open_fixture_sequence, open_sequence
     from dr3_tpu.pipelines.vo import MonoVO
     from dr3_tpu.utils.config import Config
@@ -51,9 +55,17 @@ def main(argv=None):
     seq = open_sequence(args.seq) if args.seq else open_fixture_sequence()
     mesh = None
     if args.distributed:
-        from dr3_tpu.parallel.mesh import make_mesh
+        import jax
 
-        mesh = make_mesh()
+        from dr3_tpu.parallel.mesh import make_mesh, make_mesh_2d
+
+        # 2-level [hosts, points] mesh when multiple processes participate
+        # (map shards over ICI within a host, reduced systems combine over
+        # DCN); flat mesh on one host
+        if jax.process_count() > 1:
+            mesh = make_mesh_2d()
+        else:
+            mesh = make_mesh()
     vo = MonoVO(seq.cam, cfg, mesh=mesh)
     if args.resume:
         from dr3_tpu.io.checkpoint import load_vo

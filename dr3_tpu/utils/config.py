@@ -83,19 +83,16 @@ class Config:
     loop_pgo_iters: int = 12
 
     # --- static capacities (TPU shapes) ---
-    max_corners: int = 2048         # per-frame corner capacity
+    max_corners: int = 2048         # per-frame track capacity cap (grid
+                                    # cells above this are truncated)
     max_points: int = 16384         # map landmark capacity
     max_keyframes: int = 32         # sliding-window keyframe capacity
-    max_obs: int = 65536            # observation table capacity
 
     # --- bundle adjustment ---
-    ba_max_iters: int = 20
+    ba_max_iters: int = 8           # LM iterations per window BA
     ba_lambda0: float = 1e-3
     ba_huber_delta: float = 5.0     # px, robust loss scale
     ba_jacobi_scaling: bool = True  # fixes reference's Cholesky failures
-
-    # --- compute ---
-    dtype: Any = "float32"
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -168,6 +168,72 @@ def test_db_graph_corrects_injected_drift():
 
 
 @pytest.mark.slow
+def test_db_compact_preserves_order_and_maps_slots(rng):
+    cfg = Config()
+    D = cfg.loop_thumb_h * cfg.loop_thumb_w
+    C, N = 8, 4
+    db = lc.LoopDatabase.empty(C, N, D, cfg.loop_desc_patch ** 2)
+    for k in range(C):
+        e = lc.LoopEntry(
+            thumb=jnp.full((D,), float(k)),
+            kp_desc=jnp.zeros((N, cfg.loop_desc_patch ** 2)),
+            kp_px=jnp.zeros((N, 2)), kp_xyz=jnp.zeros((N, 3)),
+            kp_point=jnp.full((N,), k, jnp.int32),
+            kp_has=jnp.zeros(N, bool))
+        db = lc.db_add(db, jnp.asarray(k, jnp.int32), e,
+                       SE3.identity().wxyz, SE3.identity().t,
+                       jnp.asarray(10 * k, jnp.int32))
+    keep = np.zeros(C, bool)
+    keep[[0, 2, 5, 6, 7]] = True
+    new_db, old2new, n_keep = lc.db_compact(db, jnp.asarray(keep))
+    assert int(n_keep) == 5
+    np.testing.assert_array_equal(np.asarray(new_db.frame_id),
+                                  [0, 20, 50, 60, 70, -1, -1, -1])
+    np.testing.assert_array_equal(np.asarray(new_db.valid),
+                                  [1, 1, 1, 1, 1, 0, 0, 0])
+    np.testing.assert_array_equal(np.asarray(old2new),
+                                  [0, -1, 1, -1, -1, 2, 3, 4])
+    # per-entry payload moved with its slot
+    np.testing.assert_array_equal(np.asarray(new_db.kp_point[1]),
+                                  np.full(N, 2))
+    # evicted tail reset
+    assert float(jnp.abs(new_db.thumb[5:]).sum()) == 0.0
+
+
+def test_vo_loop_db_ring_past_capacity(rng):
+    """Sequence with more keyframes than loop_db_capacity: insertion must
+    keep going (halving density), newest keyframes always present, and the
+    run stays healthy (regression for the round-1 silent stop at capacity)."""
+    from dr3_tpu.pipelines.vo import MonoVO, Stage
+
+    cam = _cam()
+    tn, tf = make_textures(rng)
+    half = 16
+    xs = [0.09 * i for i in range(half)] + \
+        [0.09 * (half - 1 - i) for i in range(half)]
+    frames = [render_scene(cam, _lateral_pose(x), tn, tf) for x in xs]
+
+    cfg = Config(init_min_features=60, init_min_tracked=60,
+                 init_min_triangulated=30, init_min_disparity=2.0,
+                 max_keyframes=16, kf_disparity=6.0,
+                 loop_closure=True, loop_db_capacity=6,
+                 loop_min_gap_frames=12, loop_min_score=0.6,
+                 loop_min_inliers=20, loop_cooldown_kfs=3, loop_max_edges=4)
+    vo = MonoVO(cam, cfg)
+    for f in frames:
+        vo.process(f)
+    assert vo.stage is Stage.GENERAL
+    assert vo.kf_count > cfg.loop_db_capacity  # we really overflowed
+    assert vo.db_cursor <= cfg.loop_db_capacity
+    fid = np.asarray(vo.loop_db.frame_id)
+    valid = np.asarray(vo.loop_db.valid)
+    live = fid[valid]
+    # newest keyframe is in the database and slots stay time-ordered
+    assert live.size >= 3
+    assert (np.diff(live) > 0).all()
+    assert live[-1] >= fid.max()
+
+
 def test_vo_loop_closure_out_and_back(rng):
     """Full VO with loop closure on an out-and-back sweep: at least one
     closure fires and the corrected trajectory is no worse than odometry."""

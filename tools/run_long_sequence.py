@@ -1,0 +1,149 @@
+"""Full-pipeline evidence run: a LONG synthetic sequence with ground truth.
+
+The north-star metric (BASELINE.md) is "frames/sec/chip on KITTI seq-00 at
+reference ATE". This bench environment has no dataset egress — only the ten
+KITTI frames checked into the reference — so, per the baseline protocol,
+this tool *generates* a 500+-frame sequence with exact ground truth (the
+same renderer the test suite uses: two textured planes, lateral sweeps with
+gentle yaw) and runs the COMPLETE MonoVO driver over it: detection,
+tracking, pose optimization, keyframing, triangulation, window BA, map
+compaction, loop closure, relocalization. Reports wall-clock pipeline
+frames/sec (all keyframe stages included), Sim(3) ATE against ground truth,
+and the long-horizon counters (compactions, loop closures, database ring
+compactions).
+
+    python tools/run_long_sequence.py --frames 500 [--cpu] [--kitti-res]
+
+Prints one JSON line at the end for easy capture.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_sequence(n_frames: int, width: int, height: int, rng):
+    """Ground-truth poses + rendered frames: lateral out-and-back sweeps
+    (several periods -> revisits for loop closure) with gentle yaw wobble."""
+    import jax.numpy as jnp
+
+    from dr3_tpu.geometry.lie import SE3
+    from dr3_tpu.models.camera import Pinhole
+    from tests.synth import make_textures, render_scene
+
+    f = 0.875 * width
+    cam = Pinhole.create(width, height, f, f, width / 2.0, height / 2.0)
+    tex_near, tex_far = make_textures(rng)
+
+    period = 100
+    amp = 1.4
+    poses = []
+    for i in range(n_frames):
+        phase = 2.0 * np.pi * i / period
+        x = amp * 0.5 * (1.0 - np.cos(phase))      # 0 -> amp -> 0 sweep
+        y = 0.08 * np.sin(2.0 * phase)
+        yaw = 0.02 * np.sin(phase)
+        tau = np.asarray([-x, -y, 0.0, 0.0, yaw, 0.0], np.float32)
+        poses.append(SE3.exp(jnp.asarray(tau)))
+    frames = [np.asarray(render_scene(cam, T, tex_near, tex_far))
+              for T in poses]
+    return cam, poses, frames
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--kitti-res", action="store_true",
+                    help="render at 1240x376 (slower)")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--distributed", action="store_true",
+                    help="shard window BA over all local devices")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from dr3_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.kitti_res:
+        args.width, args.height = 1240, 376
+
+    from dr3_tpu.pipelines.vo import MonoVO
+    from dr3_tpu.utils.config import Config
+    from dr3_tpu.viz.ate import ate_rmse
+
+    rng = np.random.default_rng(args.seed)
+    print(f"rendering {args.frames} frames at {args.width}x{args.height}...")
+    cam, poses, frames = make_sequence(args.frames, args.width, args.height,
+                                       rng)
+
+    cfg = Config(
+        fast_threshold=8.0,
+        init_min_features=60, init_min_tracked=60,
+        init_min_triangulated=30, init_min_disparity=2.0,
+        kf_disparity=12.0,
+        max_points=8192,            # modest capacity -> compactions happen
+        loop_closure=True, loop_db_capacity=64,
+        loop_min_gap_frames=60, loop_min_score=0.6,
+        loop_min_inliers=20, loop_cooldown_kfs=4,
+    )
+    mesh = None
+    if args.distributed:
+        from dr3_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    vo = MonoVO(cam, cfg, mesh=mesh)
+
+    warm = min(40, args.frames // 4)
+    t_all0 = time.perf_counter()
+    for f in frames[:warm]:
+        vo.process(f)
+    t0 = time.perf_counter()
+    for f in frames[warm:]:
+        vo.process(f)
+    dt = time.perf_counter() - t0
+    dt_all = time.perf_counter() - t_all0
+    fps = (args.frames - warm) / dt
+
+    gt = np.stack([np.asarray(p.center()) for p in poses])
+    est = vo.positions()
+    moving = np.nonzero(np.linalg.norm(est, axis=1) > 1e-9)[0]
+    i0 = max(int(moving[0]) - 1, 0) if moving.size else 0
+    a = ate_rmse(est[i0:], gt[i0:], with_scale=True)
+    traj_len = float(np.linalg.norm(np.diff(gt[i0:], axis=0), axis=1).sum())
+
+    print(vo.report())
+    out = {
+        "frames": args.frames,
+        "resolution": f"{args.width}x{args.height}",
+        "pipeline_frames_per_sec": round(fps, 2),
+        "wall_clock_total_s": round(dt_all, 1),
+        "ate_rmse": round(float(a.rmse), 4),
+        "ate_pct_of_trajectory": round(100.0 * float(a.rmse) / traj_len, 2),
+        "trajectory_length": round(traj_len, 2),
+        "keyframes": vo.kf_count,
+        "map_compactions": vo.n_compactions,
+        "loop_closures": vo.n_loop_closures,
+        "relocalizations": vo.n_relocalizations,
+        "distributed": bool(mesh),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
