@@ -37,6 +37,11 @@ class BAProblem(NamedTuple):
     obs_uv: jnp.ndarray      # [O, 2] measured pixels
     obs_w: jnp.ndarray       # [O] weight; 0 = padding/invalid
     cam_fixed: jnp.ndarray   # [K] bool gauge-fixed cameras
+    dist: Optional[jnp.ndarray] = None  # [5] shared (k1, k2, p1, p2, k3)
+                             # lens distortion (reference src/camera.cpp:57-70)
+                             # applied inside the residual; None = pure
+                             # pinhole (the reference's own BA residual,
+                             # optimizer.hpp:95-108, also omits distortion)
 
     @property
     def n_cams(self) -> int:
@@ -55,7 +60,7 @@ class BAProblem(NamedTuple):
 
 
 def make_problem(cams: SE3, points, intrinsics, obs_cam, obs_pt, obs_uv,
-                 obs_w=None, cam_fixed=None) -> BAProblem:
+                 obs_w=None, cam_fixed=None, dist=None) -> BAProblem:
     obs_cam = jnp.asarray(obs_cam, jnp.int32)
     if obs_w is None:
         obs_w = jnp.ones(obs_cam.shape[0], jnp.float32)
@@ -66,14 +71,43 @@ def make_problem(cams: SE3, points, intrinsics, obs_cam, obs_pt, obs_uv,
         intrinsics=jnp.asarray(intrinsics), obs_cam=obs_cam,
         obs_pt=jnp.asarray(obs_pt, jnp.int32), obs_uv=jnp.asarray(obs_uv),
         obs_w=jnp.asarray(obs_w), cam_fixed=jnp.asarray(cam_fixed),
+        dist=None if dist is None else jnp.asarray(dist),
     )
 
 
-def project(intr: jnp.ndarray, xc: jnp.ndarray) -> jnp.ndarray:
-    """Pinhole projection of camera-frame points [..., 3] (optimizer.hpp:95-108)."""
+def distort(dist: jnp.ndarray, xn: jnp.ndarray):
+    """Apply (k1, k2, p1, p2, k3) radial + tangential distortion to
+    normalized coords [..., 2] (reference Pinhole::world2cam,
+    src/camera.cpp:57-70). Returns (distorted [..., 2], d(out)/d(in)
+    [..., 2, 2]) — the Jacobian is closed-form for linearize."""
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    a = xn[..., 0]
+    b = xn[..., 1]
+    r2 = a * a + b * b
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    dradial = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)   # d radial / d r2
+    xd = a * radial + 2.0 * p1 * a * b + p2 * (r2 + 2.0 * a * a)
+    yd = b * radial + p1 * (r2 + 2.0 * b * b) + 2.0 * p2 * a * b
+    J = jnp.stack([
+        jnp.stack([radial + 2.0 * a * a * dradial + 2.0 * p1 * b
+                   + 6.0 * p2 * a,
+                   2.0 * a * b * dradial + 2.0 * p1 * a + 2.0 * p2 * b], -1),
+        jnp.stack([2.0 * a * b * dradial + 2.0 * p1 * a + 2.0 * p2 * b,
+                   radial + 2.0 * b * b * dradial + 6.0 * p1 * b
+                   + 2.0 * p2 * a], -1),
+    ], -2)
+    return jnp.stack([xd, yd], axis=-1), J
+
+
+def project(intr: jnp.ndarray, xc: jnp.ndarray,
+            dist: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Projection of camera-frame points [..., 3] (optimizer.hpp:95-108);
+    optional shared lens distortion (src/camera.cpp:57-70)."""
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
     z = jnp.where(jnp.abs(xc[..., 2:3]) < 1e-9, 1e-9, xc[..., 2:3])
     xy = xc[..., :2] / z
+    if dist is not None:
+        xy, _ = distort(dist, xy)
     return jnp.stack([fx * xy[..., 0] + cx, fy * xy[..., 1] + cy], axis=-1)
 
 
@@ -93,7 +127,7 @@ def residuals_only(p: BAProblem, huber_delta: float = 5.0) -> jnp.ndarray:
     t = p.cam_t[p.obs_cam]
     X = p.points[p.obs_pt]
     xc = quat_rotate(q, X) + t
-    return project(p.intrinsics, xc) - p.obs_uv
+    return project(p.intrinsics, xc, p.dist) - p.obs_uv
 
 
 def linearize(p: BAProblem, huber_delta: float = 5.0,
@@ -123,14 +157,39 @@ def linearize(p: BAProblem, huber_delta: float = 5.0,
     x_z = xc[..., 0] * inv_z
     y_z = xc[..., 1] * inv_z
 
-    r = project(p.intrinsics, xc) - p.obs_uv  # [O, 2]
+    r = project(p.intrinsics, xc, p.dist) - p.obs_uv  # [O, 2]
 
     # d r / d xc  [O, 2, 3]
     zero = jnp.zeros_like(inv_z)
-    J_proj = jnp.stack([
-        jnp.stack([fx * inv_z, zero, -fx * x_z * inv_z], -1),
-        jnp.stack([zero, fy * inv_z, -fy * y_z * inv_z], -1),
-    ], -2)
+    if p.dist is None:
+        J_proj = jnp.stack([
+            jnp.stack([fx * inv_z, zero, -fx * x_z * inv_z], -1),
+            jnp.stack([zero, fy * inv_z, -fy * y_z * inv_z], -1),
+        ], -2)
+    else:
+        # chain through the distortion: F @ Jd @ d(x/z, y/z)/dxc
+        xy_d, Jd = distort(p.dist, jnp.stack([x_z, y_z], -1))
+        x_z, y_z = xy_d[..., 0], xy_d[..., 1]  # Jg below needs distorted
+        J_norm = jnp.stack([
+            jnp.stack([inv_z, zero, -xc[..., 0] * inv_z * inv_z], -1),
+            jnp.stack([zero, inv_z, -xc[..., 1] * inv_z * inv_z], -1),
+        ], -2)
+        F = jnp.stack([jnp.stack([fx, 0.0 * fx], -1),
+                       jnp.stack([0.0 * fy, fy], -1)], -2)
+        J_proj = F @ (Jd @ J_norm)
+
+    # Sanitize through the mask with where (not by multiplying by 0): a
+    # masked/padded observation can overflow the distortion polynomial
+    # (r^6 -> inf in f32) and 0 * inf = nan would poison the psum'd cost
+    # and the segment-summed normal equations.
+    # (obs_w > 0 joins the mask: a padded observation with finite-but-
+    # enormous residual would still overflow rho and nan the cost via
+    # 0 * inf)
+    valid = (z > 1e-6) & (p.obs_w > 0) \
+        & jnp.all(jnp.isfinite(r), axis=-1) \
+        & jnp.all(jnp.isfinite(J_proj), axis=(-2, -1))
+    r = jnp.where(valid[..., None], r, 0.0)
+    J_proj = jnp.where(valid[..., None, None], J_proj, 0.0)
 
     # camera block: [I | -hat(xc)]  -> [O, 3, 6]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), xc.shape[:-1] + (3, 3))
@@ -145,7 +204,6 @@ def linearize(p: BAProblem, huber_delta: float = 5.0,
     r_norm = jnp.linalg.norm(r, axis=-1)
     huber_w = jnp.where(r_norm <= huber_delta, 1.0,
                         huber_delta / jnp.maximum(r_norm, 1e-12))
-    valid = (z > 1e-6) & jnp.all(jnp.isfinite(r), axis=-1)
     w = p.obs_w * huber_w * valid.astype(r.dtype)
     sw = jnp.sqrt(w)[..., None]
 
@@ -162,7 +220,8 @@ def linearize(p: BAProblem, huber_delta: float = 5.0,
         Jg = jnp.stack([
             jnp.stack([x_z, zr, one, zr], -1),
             jnp.stack([zr, y_z, zr, one], -1),
-        ], -2) * sw[..., None]
+        ], -2)
+        Jg = jnp.where(valid[..., None, None], Jg, 0.0) * sw[..., None]
 
     return Residuals(r=r * sw, Jc=Jc * sw[..., None], Jp=Jp * sw[..., None],
                      cost=cost, valid=valid, Jg=Jg)

@@ -60,6 +60,13 @@ class BAResult(NamedTuple):
     lambda_final: jnp.ndarray
 
 
+def _params_finite(p: BAProblem) -> jnp.ndarray:
+    """Scalar bool: every optimized parameter is finite."""
+    return (jnp.all(jnp.isfinite(p.cam_wxyz)) & jnp.all(jnp.isfinite(p.cam_t))
+            & jnp.all(jnp.isfinite(p.points))
+            & jnp.all(jnp.isfinite(p.intrinsics)))
+
+
 def _solve_once(p: BAProblem, lam, huber_delta: float, jacobi: bool,
                 optimize_intrinsics: bool, method: str, d_max: int,
                 cg_iters: int):
@@ -97,7 +104,11 @@ def bundle_adjust(problem: BAProblem, max_iters: int = 20,
                                   optimize_intrinsics, method, d_max,
                                   cg_iters)
         new_cost = linearize(p_new, huber_delta).cost
-        ok = (new_cost < best_cost) & jnp.isfinite(new_cost)
+        # a nan/inf candidate masks its own observations inside linearize
+        # (cost drops to ~0), so finite cost alone is not an accept
+        # criterion — the parameters themselves must stay finite
+        ok = (new_cost < best_cost) & jnp.isfinite(new_cost) \
+            & _params_finite(p_new)
         p_next = jax.tree.map(lambda a, b: jnp.where(ok, b, a), p, p_new)
         lam_next = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-9),
                              jnp.minimum(lam * 2.0, 1e6))
@@ -132,7 +143,8 @@ def pose_only_adjust(problem: BAProblem, max_iters: int = 10,
         dc = chol_solve_small(H, b)
         p_new = apply_update(p, dc, jnp.zeros_like(p.points))
         new_cost = linearize(p_new, huber_delta).cost
-        ok = (new_cost < best_cost) & jnp.isfinite(new_cost)
+        ok = (new_cost < best_cost) & jnp.isfinite(new_cost) \
+            & _params_finite(p_new)
         p_next = jax.tree.map(lambda a, b_: jnp.where(ok, b_, a), p, p_new)
         lam_next = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-9),
                              jnp.minimum(lam * 2.0, 1e6))

@@ -110,15 +110,16 @@ def partition_problem(p: BAProblem, n_shards: int) -> ShardedProblem:
                           obs_uv=ouv, obs_w=ow, point_perm=perm)
 
 
-def _local_problem(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow) -> BAProblem:
+def _local_problem(cam_wxyz, cam_t, intr, dist, cam_fixed, pts_l, oc, op,
+                   ouv, ow) -> BAProblem:
     return BAProblem(cam_wxyz=cam_wxyz, cam_t=cam_t, points=pts_l,
                      intrinsics=intr, obs_cam=oc, obs_pt=op, obs_uv=ouv,
-                     obs_w=ow, cam_fixed=cam_fixed)
+                     obs_w=ow, cam_fixed=cam_fixed, dist=dist)
 
 
-def _dist_ba_shardfn(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow,
-                     max_iters: int, huber_delta: float, lambda0: float,
-                     axes=POINT_AXIS):
+def _dist_ba_shardfn(cam_wxyz, cam_t, intr, dist, cam_fixed, pts_l, oc, op,
+                     ouv, ow, max_iters: int, huber_delta: float,
+                     lambda0: float, axes=POINT_AXIS):
     """Runs on each device under shard_map; *_l args are the local shard.
     ``axes`` = mesh axis name(s) the points shard over; on a 2-level
     [hosts, points] mesh the psum reduces over ICI first, then DCN."""
@@ -132,7 +133,8 @@ def _dist_ba_shardfn(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow,
 
     def body(_, state):
         cw, ct, pts, lam, best_cost, n_acc = state
-        prob = _local_problem(cw, ct, intr, cam_fixed, pts, oc, op, ouv, ow)
+        prob = _local_problem(cw, ct, intr, dist, cam_fixed, pts, oc, op,
+                              ouv, ow)
         res = linearize(prob, huber_delta)
         active = (ow > 0) & res.valid
         blocks = assemble_blocks(res.r, res.Jc, res.Jp, oc, op, active,
@@ -183,7 +185,15 @@ def _dist_ba_shardfn(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow,
 
         newp = apply_update(prob, dc, dp)
         new_cost = total_cost(newp)
-        ok = (new_cost < best_cost) & jnp.isfinite(new_cost)
+        # nan/inf candidates mask their own observations (cost drops to
+        # ~0) — require finite parameters, not just finite cost. The point
+        # check psums so every shard takes the same branch.
+        finite = (jnp.all(jnp.isfinite(newp.cam_wxyz))
+                  & jnp.all(jnp.isfinite(newp.cam_t))
+                  & (jax.lax.psum(
+                      (~jnp.all(jnp.isfinite(newp.points))).astype(
+                          jnp.int32), axes) == 0))
+        ok = (new_cost < best_cost) & jnp.isfinite(new_cost) & finite
         cw2 = jnp.where(ok, newp.cam_wxyz, cw)
         ct2 = jnp.where(ok, newp.cam_t, ct)
         pts2 = jnp.where(ok, newp.points, pts)
@@ -192,7 +202,8 @@ def _dist_ba_shardfn(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow,
         best2 = jnp.where(ok, new_cost, best_cost)
         return cw2, ct2, pts2, lam2, best2, n_acc + ok.astype(jnp.int32)
 
-    prob0 = _local_problem(cam_wxyz, cam_t, intr, cam_fixed, pts_l, oc, op, ouv, ow)
+    prob0 = _local_problem(cam_wxyz, cam_t, intr, dist, cam_fixed, pts_l,
+                           oc, op, ouv, ow)
     cost0 = total_cost(prob0)
     init = (cam_wxyz, cam_t, pts_l, jnp.asarray(lambda0, jnp.float32), cost0,
             jnp.asarray(0, jnp.int32))
@@ -216,7 +227,7 @@ def _build_dist_ba(mesh, max_iters: int, huber_delta: float, lambda0: float):
     rep = P()
     mapped = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(rep, rep, rep, rep, shard, shard, shard, shard, shard),
+        in_specs=(rep, rep, rep, rep, rep, shard, shard, shard, shard, shard),
         out_specs=(rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
@@ -233,6 +244,10 @@ def dist_bundle_adjust(problem: BAProblem, n_devices: int | None = None,
 
     mapped = _build_dist_ba(mesh, max_iters, float(huber_delta),
                             float(lambda0))
+    # distortion rides as a plain [5] array; zeros reproduce the pure
+    # pinhole exactly (radial term = 1, tangential = 0)
+    dist_arr = (jnp.zeros((5,), jnp.float32) if problem.dist is None
+                else jnp.asarray(problem.dist))
 
     if jax.process_count() > 1:
         # multi-controller: every process computed the identical partition;
@@ -249,12 +264,13 @@ def dist_bundle_adjust(problem: BAProblem, n_devices: int | None = None,
                                                 lambda idx: a[idx])
 
         args = (g(problem.cam_wxyz, rp), g(problem.cam_t, rp),
-                g(problem.intrinsics, rp), g(problem.cam_fixed, rp),
+                g(problem.intrinsics, rp), g(dist_arr, rp),
+                g(problem.cam_fixed, rp),
                 g(sp.points, sh), g(sp.obs_cam, sh), g(sp.obs_pt_local, sh),
                 g(sp.obs_uv, sh), g(sp.obs_w, sh))
     else:
         args = (problem.cam_wxyz, problem.cam_t, problem.intrinsics,
-                problem.cam_fixed, jnp.asarray(sp.points),
+                dist_arr, problem.cam_fixed, jnp.asarray(sp.points),
                 jnp.asarray(sp.obs_cam), jnp.asarray(sp.obs_pt_local),
                 jnp.asarray(sp.obs_uv), jnp.asarray(sp.obs_w))
     cw, ct, pts_sharded, cost0, cost, n_acc, lam = mapped(*args)

@@ -228,7 +228,7 @@ def verify_loop(db: LoopDatabase, cand, entry: LoopEntry, cam: Pinhole,
     prob = make_problem(
         cams=SE3(T0.wxyz[None], T0.t[None]), points=points, intrinsics=intr,
         obs_cam=jnp.zeros_like(m.idx2), obs_pt=m.idx2, obs_uv=entry.kp_px,
-        obs_w=w, cam_fixed=jnp.zeros((1,), bool))
+        obs_w=w, cam_fixed=jnp.zeros((1,), bool), dist=cam.dist)
     res = pose_only_adjust(prob, cfg.loop_pnp_iters, cfg.ba_huber_delta)
     T1 = SE3(res.problem.cam_wxyz[0], res.problem.cam_t[0])
 
@@ -257,7 +257,8 @@ def verify_loop(db: LoopDatabase, cand, entry: LoopEntry, cam: Pinhole,
 # global bundle adjustment over the database
 # ---------------------------------------------------------------------------
 
-def global_ba_problem(db: LoopDatabase, map_state: MapState, intr):
+def global_ba_problem(db: LoopDatabase, map_state: MapState, intr,
+                      dist=None):
     """Flatten the whole keyframe database into one BA problem — every
     keyframe ever made vs the full map (the reference's global_BA input,
     src/optimizer.cpp:6-81, which flattens its Map to exactly this BAL
@@ -274,7 +275,7 @@ def global_ba_problem(db: LoopDatabase, map_state: MapState, intr):
     fixed = (~db.valid) | (jnp.arange(C) < 2)
     return make_problem(cams=SE3(db.wxyz, db.t), points=map_state.xyz,
                         intrinsics=intr, obs_cam=obs_cam, obs_pt=pt,
-                        obs_uv=obs_uv, obs_w=w, cam_fixed=fixed)
+                        obs_uv=obs_uv, obs_w=w, cam_fixed=fixed, dist=dist)
 
 
 # ---------------------------------------------------------------------------

@@ -115,7 +115,7 @@ def _pose_optimize(tracks: TrackState, map_xyz, map_valid, T_guess: SE3,
         points=map_xyz, intrinsics=intr,
         obs_cam=jnp.zeros_like(tracks.point), obs_pt=pt_idx,
         obs_uv=tracks.px, obs_w=w,
-        cam_fixed=jnp.zeros((1,), bool))
+        cam_fixed=jnp.zeros((1,), bool), dist=cam.dist)
     res = pose_only_adjust(prob, 10, cfg.ba_huber_delta)
     T_new = SE3(res.problem.cam_wxyz[0], res.problem.cam_t[0])
 
@@ -258,7 +258,8 @@ def _referenced_points(tracks: TrackState, kfs: KeyframeState, map_valid,
     return keep
 
 
-def _window_problem(kfs: KeyframeState, map_state: MapState, intr):
+def _window_problem(kfs: KeyframeState, map_state: MapState, intr,
+                    dist=None):
     """Flatten keyframe snapshots into a BAProblem (keyframes-only graph —
     the reference README's TODO, README.md:47-48)."""
     K, N = kfs.obs_point.shape
@@ -276,14 +277,14 @@ def _window_problem(kfs: KeyframeState, map_state: MapState, intr):
 
     return make_problem(cams=SE3(kfs.wxyz, kfs.t), points=map_state.xyz,
                         intrinsics=intr, obs_cam=obs_cam, obs_pt=pt_idx,
-                        obs_uv=obs_uv, obs_w=w, cam_fixed=fixed)
+                        obs_uv=obs_uv, obs_w=w, cam_fixed=fixed, dist=dist)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _local_ba(kfs: KeyframeState, map_state: MapState, intr, cfg: Config,
-              max_iters: int):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _local_ba(kfs: KeyframeState, map_state: MapState, intr, dist,
+              cfg: Config, max_iters: int):
     """Single-device sliding-window BA from keyframe snapshots."""
-    prob = _window_problem(kfs, map_state, intr)
+    prob = _window_problem(kfs, map_state, intr, dist)
     res = bundle_adjust(prob, max_iters, cfg.ba_huber_delta,
                         cfg.ba_jacobi_scaling, cfg.ba_lambda0)
     kfs2 = kfs._replace(wxyz=res.problem.cam_wxyz, t=res.problem.cam_t)
@@ -293,13 +294,13 @@ def _local_ba(kfs: KeyframeState, map_state: MapState, intr, cfg: Config,
 
 
 def _local_ba_distributed(kfs: KeyframeState, map_state: MapState, intr,
-                          cfg: Config, max_iters: int, mesh):
+                          dist, cfg: Config, max_iters: int, mesh):
     """Mesh-distributed window BA: points shard over the mesh, cameras
     replicate, one psum of the reduced camera system per LM iteration
     (parallel/dist_ba.py)."""
     from dr3_tpu.parallel.dist_ba import dist_bundle_adjust
 
-    prob = _window_problem(kfs, map_state, intr)
+    prob = _window_problem(kfs, map_state, intr, dist)
     res = dist_bundle_adjust(prob, max_iters=max_iters,
                              huber_delta=cfg.ba_huber_delta,
                              lambda0=cfg.ba_lambda0, mesh=mesh)
@@ -648,11 +649,12 @@ class MonoVO:
         self.monitor.tic("local_BA")
         if self.mesh is not None:
             self.kfs, self.map, c0, c1 = _local_ba_distributed(
-                self.kfs, self.map, self.intr, cfg, cfg.ba_max_iters,
-                self.mesh)
+                self.kfs, self.map, self.intr, self.cam.dist, cfg,
+                cfg.ba_max_iters, self.mesh)
         else:
             self.kfs, self.map, c0, c1 = _local_ba(
-                self.kfs, self.map, self.intr, cfg, cfg.ba_max_iters)
+                self.kfs, self.map, self.intr, self.cam.dist, cfg,
+                cfg.ba_max_iters)
         self.monitor.toc("local_BA", block=self.map.xyz)
         # current pose = the just-optimized keyframe pose
         self.T_cur = SE3(self.kfs.wxyz[slot], self.kfs.t[slot])
@@ -803,7 +805,8 @@ class MonoVO:
         from dr3_tpu.pipelines import loop_closure as lc
         cfg = self.cfg
         db = self.loop_db
-        prob = lc.global_ba_problem(db, self.map, self.intr)
+        prob = lc.global_ba_problem(db, self.map, self.intr,
+                                    self.cam.dist)
         if self.mesh is not None:
             from dr3_tpu.parallel.dist_ba import dist_bundle_adjust
             res = dist_bundle_adjust(prob, max_iters=max_iters,

@@ -1,17 +1,20 @@
 """Bundle adjustment tests: synthetic problems with known ground truth."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dr3_tpu.ba.problem import make_problem, project, residuals_only
+from dr3_tpu.ba.problem import distort, linearize, make_problem, project, \
+    residuals_only
 from dr3_tpu.ba.schur_lm import bundle_adjust, pose_only_adjust
 from dr3_tpu.geometry.lie import SE3
 
 INTR = jnp.asarray([500.0, 500.0, 320.0, 240.0])
+DIST = jnp.asarray([-0.28, 0.07, 1e-4, -5e-5, 0.0])  # KITTI-raw-like
 
 
 def synthetic_ba(rng, n_cams=6, n_pts=120, noise_px=0.0, pose_noise=0.02,
-                 pt_noise=0.05, outlier_frac=0.0):
+                 pt_noise=0.05, outlier_frac=0.0, dist=None):
     """Cameras on an arc looking at a point cloud; perturbed initial values."""
     # ground truth
     pts = np.stack([
@@ -29,7 +32,7 @@ def synthetic_ba(rng, n_cams=6, n_pts=120, noise_px=0.0, pose_noise=0.02,
     obs_cam = np.repeat(np.arange(n_cams), n_pts).astype(np.int32)
     obs_pt = np.tile(np.arange(n_pts), n_cams).astype(np.int32)
     Xc = cams_true[obs_cam].apply(jnp.asarray(pts)[obs_pt])
-    uv = np.array(project(INTR, Xc))
+    uv = np.array(project(INTR, Xc, dist))
     uv += rng.normal(0, noise_px, uv.shape).astype(np.float32)
     n_out = int(outlier_frac * len(uv))
     if n_out:
@@ -50,7 +53,7 @@ def synthetic_ba(rng, n_cams=6, n_pts=120, noise_px=0.0, pose_noise=0.02,
                 jnp.stack([c.t for c in cams_init]))
     pts0 = pts + rng.normal(0, pt_noise, pts.shape).astype(np.float32)
 
-    prob = make_problem(cams0, pts0, INTR, obs_cam, obs_pt, uv)
+    prob = make_problem(cams0, pts0, INTR, obs_cam, obs_pt, uv, dist=dist)
     return prob, cams_true, pts
 
 
@@ -117,6 +120,55 @@ def test_pose_only_adjust(rng):
     err_t = np.abs(np.asarray(res.problem.cam_t) - np.asarray(cams_true.t)).max()
     assert err_t < 1e-3
     np.testing.assert_allclose(np.asarray(res.problem.points), pts_true)
+
+
+def test_distort_jacobian_matches_autodiff(rng):
+    """Closed-form d(distorted)/d(normalized) vs jacfwd."""
+    xn = jnp.asarray(rng.uniform(-0.6, 0.6, (50, 2)).astype(np.float32))
+    _, J = distort(DIST, xn)
+    J_ad = jax.vmap(jax.jacfwd(lambda x: distort(DIST, x)[0]))(xn)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_linearize_jacobians_with_distortion(rng):
+    """Analytic Jc/Jp in linearize chain correctly through the distortion."""
+    prob, *_ = synthetic_ba(rng, n_cams=3, n_pts=20, dist=DIST)
+    res = linearize(prob, huber_delta=1e9)  # trivial loss: sw == obs_w
+
+    def r_of_cam(tau, i):
+        cams = SE3.exp(tau[None])[0] @ SE3(prob.cam_wxyz[i], prob.cam_t[i])
+        p2 = prob._replace(cam_wxyz=prob.cam_wxyz.at[i].set(cams.wxyz),
+                           cam_t=prob.cam_t.at[i].set(cams.t))
+        return residuals_only(p2)
+
+    def r_of_pts(pts):
+        return residuals_only(prob._replace(points=pts))
+
+    Jc_ad = jax.jacfwd(r_of_cam)(jnp.zeros(6), 1)          # [O, 2, 6]
+    Jp_ad = jax.jacfwd(r_of_pts)(prob.points)               # [O, 2, P, 3]
+    sel_c = np.asarray(prob.obs_cam) == 1
+    np.testing.assert_allclose(np.asarray(res.Jc)[sel_c],
+                               np.asarray(Jc_ad)[sel_c],
+                               rtol=2e-3, atol=2e-3)
+    O = prob.n_obs
+    Jp_ad_own = np.asarray(Jp_ad)[np.arange(O), :, np.asarray(prob.obs_pt)]
+    np.testing.assert_allclose(np.asarray(res.Jp), Jp_ad_own,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_ba_converges_with_distortion(rng):
+    """BA on observations generated through the lens model converges when
+    the residual models the distortion — and is biased when it doesn't."""
+    prob, cams_true, pts_true = synthetic_ba(rng, dist=DIST)
+    res = bundle_adjust(prob, 15)
+    assert float(res.final_cost) < float(res.initial_cost) * 1e-3
+    err_t = np.abs(np.asarray(res.problem.cam_t)
+                   - np.asarray(cams_true.t)).max()
+    assert err_t < 2e-2
+    # the same data solved as pure pinhole cannot reach the noise floor
+    res_naive = bundle_adjust(prob._replace(dist=None), 15)
+    assert float(res_naive.final_cost) > 10.0 * float(res.final_cost)
 
 
 def test_ba_accepts_iterations(rng):

@@ -36,6 +36,20 @@ def test_dist_matches_single_device(rng, n_dev):
                                np.asarray(single.problem.cam_t), atol=1e-2)
 
 
+def test_dist_with_distortion_matches_single_device(rng):
+    from tests.test_ba import DIST
+
+    prob, cams_true, _ = synthetic_ba(rng, n_cams=5, n_pts=96, dist=DIST)
+    single = bundle_adjust(prob, 10)
+    dist = dist_bundle_adjust(prob, n_devices=4, max_iters=10)
+    np.testing.assert_allclose(float(dist.final_cost),
+                               float(single.final_cost), rtol=0.05)
+    assert float(dist.final_cost) < float(dist.initial_cost) * 1e-3
+    err_t = np.abs(np.asarray(dist.problem.cam_t)
+                   - np.asarray(cams_true.t)).max()
+    assert err_t < 2e-2
+
+
 def test_dist_converges_to_truth(rng):
     prob, cams_true, pts_true = synthetic_ba(rng, n_cams=6, n_pts=120)
     res = dist_bundle_adjust(prob, n_devices=8, max_iters=15)
