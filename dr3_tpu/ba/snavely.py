@@ -181,10 +181,19 @@ def linearize(p: SnavelyProblem, huber_delta: float = 2.0) -> SnavelyResiduals:
     R = quat_to_matrix(quat_normalize(quat))
     Jp = du_dp @ R
 
+    # Sanitize through the mask with where, not 0-multiplication: padded /
+    # non-finite observations can overflow the k2 r^4 term and 0 * inf
+    # would nan the summed cost and normal equations (same guard as
+    # ba/problem.py linearize).
+    valid = jnp.all(jnp.isfinite(r), axis=-1) & (jnp.abs(z) > 1e-9) \
+        & (p.obs_w > 0) & jnp.all(jnp.isfinite(Jc), axis=(-2, -1)) \
+        & jnp.all(jnp.isfinite(Jp), axis=(-2, -1))
+    r = jnp.where(valid[..., None], r, 0.0)
+    Jc = jnp.where(valid[..., None, None], Jc, 0.0)
+    Jp = jnp.where(valid[..., None, None], Jp, 0.0)
     r_norm = jnp.linalg.norm(r, axis=-1)
     huber_w = jnp.where(r_norm <= huber_delta, 1.0,
                         huber_delta / jnp.maximum(r_norm, 1e-12))
-    valid = jnp.all(jnp.isfinite(r), axis=-1) & (jnp.abs(z) > 1e-9)
     w = p.obs_w * huber_w * valid.astype(r.dtype)
     sw = jnp.sqrt(w)[..., None]
     rho = jnp.where(r_norm <= huber_delta, 0.5 * r_norm**2,
@@ -228,7 +237,13 @@ def bundle_adjust_snavely(problem: SnavelyProblem, max_iters: int = 30,
                                  d_max=d_max, cg_iters=cg_iters)
         p_new = apply_update(p, dc, dpt)
         new_cost = linearize(p_new, huber_delta).cost
-        ok = (new_cost < best_cost) & jnp.isfinite(new_cost)
+        # finite params required: a nan candidate masks its own
+        # observations, making its cost spuriously small (ba/schur_lm.py)
+        finite = (jnp.all(jnp.isfinite(p_new.cam_wxyz))
+                  & jnp.all(jnp.isfinite(p_new.cam_t))
+                  & jnp.all(jnp.isfinite(p_new.cam_fkk))
+                  & jnp.all(jnp.isfinite(p_new.points)))
+        ok = (new_cost < best_cost) & jnp.isfinite(new_cost) & finite
         p_next = jax.tree.map(lambda a, b: jnp.where(ok, b, a), p, p_new)
         lam_next = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-9),
                              jnp.minimum(lam * 2.0, 1e6))

@@ -127,6 +127,63 @@ def _pose_optimize(tracks: TrackState, map_xyz, map_valid, T_guess: SE3,
     return T_new, inlier, jnp.sum(inlier.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnums=(7,))
+def _general_step(img, pyr_prev, tracks: TrackState, map_xyz, map_valid,
+                  T_cur: SE3, cam: Pinhole, cfg: Config):
+    """The WHOLE general-frame hot path as one XLA program: pyramid build,
+    optional sparse image alignment, pyramidal LK (+ template alignment),
+    motion-only pose GN, reprojection gating, and the keyframe-decision
+    statistics. One host->device dispatch per frame — on a remote-relay TPU
+    host each dispatch costs ~10 ms, so fusing four stages into one program
+    is worth more wall-clock than any kernel micro-optimization.
+
+    Returns (pyr_cur, tracks', T', stats[3]) where stats packs
+    (n_inliers, median_disparity, n_tracked) into one fetchable array.
+    """
+    pyr_cur = pyramid.build_pyramid(img, max(cfg.n_pyr_levels,
+                                             cfg.klt_levels))
+    T_guess = T_cur
+    if cfg.use_sparse_align:
+        T_guess = _sparse_align_step(pyr_prev, pyr_cur, tracks, map_xyz,
+                                     map_valid, T_cur, cam, cfg)
+    tracks, _res = _track(pyr_prev, pyr_cur, tracks, cfg)
+    T_new, inlier, n_inl = _pose_optimize(tracks, map_xyz, map_valid,
+                                          T_guess, cam, cfg)
+    # accept the pose + drop gated tracks only when enough inliers survive
+    # (same host logic as the unfused path, vo.py _process_general)
+    accept = n_inl >= 10
+    has_pt = tracks.point >= 0
+    gated = tracks.valid & (~has_pt | inlier)
+    tracks = tracks._replace(valid=jnp.where(accept, gated, tracks.valid))
+    T_out = SE3(jnp.where(accept, T_new.wxyz, T_cur.wxyz),
+                jnp.where(accept, T_new.t, T_cur.t))
+
+    disp = jnp.linalg.norm(tracks.px - tracks.ref_px, axis=-1)
+    med = jnp.nanmedian(jnp.where(tracks.valid, disp, jnp.nan))
+    n_tracked = jnp.sum(tracks.valid.astype(jnp.int32))
+    stats = jnp.stack([n_inl.astype(jnp.float32), med,
+                       n_tracked.astype(jnp.float32)])
+    return pyr_cur, tracks, T_out, stats
+
+
+@functools.partial(jax.jit, static_argnums=(7, 9))
+def _keyframe_step(pyr, tracks: TrackState, kfs: KeyframeState, T_cur: SE3,
+                   map_state: MapState, point_cursor, cam: Pinhole,
+                   cfg: Config, kf_slot, img_hw):
+    """Fused keyframe work: triangulate new landmarks, detect + spawn fresh
+    tracks, refresh surviving templates — one dispatch instead of three."""
+    tracks, map_state, cursor, n_new = _triangulate_new(
+        tracks, kfs, T_cur, map_state, point_cursor, cam, cfg)
+    tracks, n_spawned = _spawn_tracks(pyr, tracks, cfg, kf_slot, img_hw)
+    if cfg.feature_align:
+        half = (tracks.ref_patch.shape[-1] - 1) // 2
+        fresh = lk.extract_patches(pyr[0], tracks.px, half)
+        tracks = tracks._replace(
+            ref_patch=jnp.where(tracks.valid[:, None, None], fresh,
+                                tracks.ref_patch))
+    return tracks, map_state, cursor, n_new, n_spawned
+
+
 @functools.partial(jax.jit, static_argnums=(6,))
 def _triangulate_new(tracks: TrackState, kfs: KeyframeState, T_cur: SE3,
                      map_state: MapState, point_cursor, cam: Pinhole,
@@ -423,20 +480,25 @@ class MonoVO:
         self.frame_idx += 1
         cfg = self.cfg
         self.monitor.tic("global")
-        self.monitor.tic("pyramid")
-        pyr = pyramid.build_pyramid(jnp.asarray(img), max(cfg.n_pyr_levels,
-                                                          cfg.klt_levels))
-        self.monitor.toc("pyramid", block=pyr[-1])
-
-        if self.stage is Stage.FIRST:
-            self._process_first(pyr)
-        elif self.pyr_prev is None:
-            # resuming from a checkpoint: re-seed imagery, keep pose/map
-            self._log_stats("reseed", int(self.tracks.n), 0, False)
-        elif self.stage is Stage.SECOND:
-            self._process_second(pyr)
+        if (cfg.fused_frontend and self.stage is Stage.GENERAL
+                and self.pyr_prev is not None):
+            # hot path: the whole frame step is one device program
+            pyr = self._process_general_fused(jnp.asarray(img))
         else:
-            self._process_general(pyr)
+            self.monitor.tic("pyramid")
+            pyr = pyramid.build_pyramid(jnp.asarray(img),
+                                        max(cfg.n_pyr_levels, cfg.klt_levels))
+            self.monitor.toc("pyramid", block=pyr[-1])
+
+            if self.stage is Stage.FIRST:
+                self._process_first(pyr)
+            elif self.pyr_prev is None:
+                # resuming from a checkpoint: re-seed imagery, keep pose/map
+                self._log_stats("reseed", int(self.tracks.n), 0, False)
+            elif self.stage is Stage.SECOND:
+                self._process_second(pyr)
+            else:
+                self._process_general(pyr)
 
         self.pyr_prev = pyr
         self.monitor.toc("global")
@@ -520,6 +582,38 @@ class MonoVO:
         self.stage = Stage.GENERAL
         self._log_stats("second", n_tracked, int(result.n_good), True)
 
+    def _process_general_fused(self, img):
+        """One-dispatch general frame (Config.fused_frontend): returns the
+        new pyramid for pyr_prev chaining. Host logic (lost-tracking
+        counter, keyframe decision, keyframe stages) is identical to
+        _process_general — only the dispatch granularity differs."""
+        cfg = self.cfg
+        self.monitor.tic("frame_step")
+        pyr, tracks, T_new, stats = _general_step(
+            img, self.pyr_prev, self.tracks, self.map.xyz, self.map.valid,
+            self.T_cur, self.cam, cfg)
+        stats = np.asarray(stats)  # ONE device->host fetch (syncs the step)
+        self.monitor.toc("frame_step")
+        n_inliers = int(stats[0])
+        med_disp = float(stats[1])
+        n_tracked = int(stats[2])
+        self.tracks = tracks
+        if n_inliers >= 10:
+            self.T_cur = T_new  # _general_step already gated the update
+            self.lost_count = 0
+        else:
+            self.lost_count += 1
+            if self.lost_count >= 3:
+                self._relocalize()
+                self._log_stats("relocalize", 0, 0, False)
+                return pyr
+
+        is_kf = self._keyframe_needed(n_inliers, med_disp)
+        if is_kf:
+            self._make_keyframe(pyr)
+        self._log_stats("general", n_tracked, n_inliers, is_kf)
+        return pyr
+
     def _process_general(self, pyr):
         cfg = self.cfg
         if cfg.use_sparse_align:
@@ -558,7 +652,10 @@ class MonoVO:
                 return
         n_tracked = int(self.tracks.n)
 
-        is_kf = self._keyframe_needed(n_inliers)
+        disp = jnp.linalg.norm(self.tracks.px - self.tracks.ref_px, axis=-1)
+        med = float(jnp.nanmedian(jnp.where(self.tracks.valid, disp,
+                                            jnp.nan)))
+        is_kf = self._keyframe_needed(n_inliers, med)
         if is_kf:
             self._make_keyframe(pyr)
         self._log_stats("general", n_tracked, n_inliers, is_kf)
@@ -573,13 +670,11 @@ class MonoVO:
         self.lost_count = 0
         self._reset_init()
 
-    def _keyframe_needed(self, n_inliers: int) -> bool:
+    def _keyframe_needed(self, n_inliers: int, med_disp: float) -> bool:
         cfg = self.cfg
         if n_inliers < cfg.kf_min_inliers:
             return True  # tracking nearly lost -> force keyframe/triangulation
-        disp = jnp.linalg.norm(self.tracks.px - self.tracks.ref_px, axis=-1)
-        med = float(jnp.nanmedian(jnp.where(self.tracks.valid, disp, jnp.nan)))
-        if np.isfinite(med) and med > cfg.kf_disparity:
+        if np.isfinite(med_disp) and med_disp > cfg.kf_disparity:
             return True
         return n_inliers < cfg.kf_inlier_ratio * max(self.last_kf_tracked, 1)
 
@@ -615,26 +710,53 @@ class MonoVO:
         slot = self._evict_oldest_if_full()
         self._compact_map_if_needed()
 
-        self.monitor.tic("triangulate")
-        self.tracks, self.map, cursor, n_new = _triangulate_new(
-            self.tracks, self.kfs, self.T_cur, self.map,
-            jnp.asarray(self.point_cursor, jnp.int32), self.cam, cfg)
-        self.point_cursor = int(cursor)
-        self.monitor.toc("triangulate", block=self.map.xyz)
+        if cfg.fused_frontend:
+            import os as _os
+            if _os.environ.get("DR3_DUMP_KF"):
+                # debug hook: persist kf_step inputs so a TPU worker crash
+                # inside the dispatch can be replayed in isolation
+                np.savez(_os.environ["DR3_DUMP_KF"],
+                         **{f"pyr{i}": np.asarray(p)
+                            for i, p in enumerate(pyr)},
+                         **{f"tr_{k}": np.asarray(v) for k, v in
+                            self.tracks._asdict().items()},
+                         **{f"kf_{k}": np.asarray(v) for k, v in
+                            self.kfs._asdict().items()},
+                         map_xyz=np.asarray(self.map.xyz),
+                         map_valid=np.asarray(self.map.valid),
+                         T_wxyz=np.asarray(self.T_cur.wxyz),
+                         T_t=np.asarray(self.T_cur.t),
+                         cursor=self.point_cursor, slot=slot)
+            # triangulate + detect/spawn + template refresh in one dispatch
+            self.monitor.tic("kf_step")
+            self.tracks, self.map, cursor, n_new, n_spawned = _keyframe_step(
+                pyr, self.tracks, self.kfs, self.T_cur, self.map,
+                jnp.asarray(self.point_cursor, jnp.int32), self.cam, cfg,
+                jnp.asarray(slot, jnp.int32),
+                (self.cam.height, self.cam.width))
+            self.point_cursor = int(cursor)
+            self.monitor.toc("kf_step")
+        else:
+            self.monitor.tic("triangulate")
+            self.tracks, self.map, cursor, n_new = _triangulate_new(
+                self.tracks, self.kfs, self.T_cur, self.map,
+                jnp.asarray(self.point_cursor, jnp.int32), self.cam, cfg)
+            self.point_cursor = int(cursor)
+            self.monitor.toc("triangulate", block=self.map.xyz)
 
-        self.monitor.tic("detect")
-        # spawn from the *current* frame's pyramid (positions live in the
-        # current frame) and refresh every surviving track's template
-        self.tracks, n_spawned = _spawn_tracks(
-            pyr, self.tracks, cfg, jnp.asarray(slot, jnp.int32),
-            (self.cam.height, self.cam.width))
-        if cfg.feature_align:
-            half = (self.tracks.ref_patch.shape[-1] - 1) // 2
-            fresh = lk.extract_patches(pyr[0], self.tracks.px, half)
-            self.tracks = self.tracks._replace(
-                ref_patch=jnp.where(self.tracks.valid[:, None, None], fresh,
-                                    self.tracks.ref_patch))
-        self.monitor.toc("detect", block=self.tracks.px)
+            self.monitor.tic("detect")
+            # spawn from the *current* frame's pyramid (positions live in
+            # the current frame) and refresh every surviving track template
+            self.tracks, n_spawned = _spawn_tracks(
+                pyr, self.tracks, cfg, jnp.asarray(slot, jnp.int32),
+                (self.cam.height, self.cam.width))
+            if cfg.feature_align:
+                half = (self.tracks.ref_patch.shape[-1] - 1) // 2
+                fresh = lk.extract_patches(pyr[0], self.tracks.px, half)
+                self.tracks = self.tracks._replace(
+                    ref_patch=jnp.where(self.tracks.valid[:, None, None],
+                                        fresh, self.tracks.ref_patch))
+            self.monitor.toc("detect", block=self.tracks.px)
 
         self._snapshot_kf(slot, self.frame_idx)
         self.kf_count += 1

@@ -59,6 +59,15 @@ class Config:
     align_half_patch: int = 2
     align_iters: int = 12
 
+    # --- frame-step fusion ---
+    fused_frontend: bool = True      # run the whole general-frame hot path
+                                     # (pyramid + sparse-align + LK + pose GN
+                                     # + gating + kf stats) as ONE jitted
+                                     # program — one host->device dispatch
+                                     # per frame instead of four. False
+                                     # restores per-stage dispatch with
+                                     # per-stage Monitor timers (profiling).
+
     # --- keyframe policy ---
     kf_disparity: float = 40.0       # median px disparity vs originating kf
     kf_min_inliers: int = 15         # below this a keyframe is forced

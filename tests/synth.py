@@ -14,7 +14,6 @@ import numpy as np
 from scipy import ndimage
 
 from dr3_tpu.geometry.lie import SE3
-from dr3_tpu.ops.warp import bilinear_sample
 
 
 def make_textures(rng, size=1600):
@@ -53,9 +52,23 @@ def render_scene(cam, T: SE3, tex_near, tex_far, z_near=6.0, z_far=14.0,
         (np.abs(pw_n[..., 1]) < near_halfh) & (lam_n > 0)
 
     def lookup(tex, pw):
+        # pure-numpy bilinear lookup: rendering must stay on host — on a
+        # remote-relay TPU each jnp call here would re-upload the 10 MB
+        # texture per frame, dominating any long-sequence run
         txy = pw[..., :2] * px_per_unit + np.asarray(tex.shape)[::-1] / 2.0
-        vals, _ = bilinear_sample(jnp.asarray(tex), jnp.asarray(txy), clamp=True)
-        return np.asarray(vals)
+        th, tw = tex.shape
+        x = np.clip(txy[..., 0], 0.0, tw - 1.001)
+        y = np.clip(txy[..., 1], 0.0, th - 1.001)
+        x0 = x.astype(np.int32)
+        y0 = y.astype(np.int32)
+        ax = (x - x0).astype(np.float32)
+        ay = (y - y0).astype(np.float32)
+        v00 = tex[y0, x0]
+        v01 = tex[y0, x0 + 1]
+        v10 = tex[y0 + 1, x0]
+        v11 = tex[y0 + 1, x0 + 1]
+        return ((1 - ay) * ((1 - ax) * v00 + ax * v01)
+                + ay * ((1 - ax) * v10 + ax * v11))
 
     img = np.where(near_mask, lookup(tex_near, pw_n), lookup(tex_far, pw_f))
     return img.astype(np.float32)

@@ -70,5 +70,27 @@ def test_vo_kitti_fixture_sequence(kitti_seq):
     steady = moving[1:]
     assert steady.std() / max(steady.mean(), 1e-9) < 0.3
     report = vo.report()
-    for stage in ("pyramid", "klt", "pose_optimizer", "local_BA"):
+    # fused front-end: general frames run as one "frame_step" program;
+    # pyramid/klt timers still appear from the bootstrap frames
+    for stage in ("pyramid", "klt", "frame_step", "kf_step", "local_BA"):
         assert stage in report
+
+
+@pytest.mark.slow
+def test_vo_fused_matches_unfused(kitti_seq):
+    """Config.fused_frontend only changes dispatch granularity: the fused
+    one-program path and the per-stage path must produce the same
+    trajectory and map."""
+    from dr3_tpu.models.camera import Pinhole
+    from dr3_tpu.pipelines.vo import MonoVO
+
+    runs = {}
+    for fused in (True, False):
+        vo = MonoVO(Pinhole.kitti(), Config(fused_frontend=fused))
+        for img in kitti_seq:
+            vo.process(img)
+        runs[fused] = (vo.positions(), int(vo.map.n), vo.kf_count)
+    np.testing.assert_allclose(runs[True][0], runs[False][0],
+                               rtol=1e-4, atol=1e-4)
+    assert runs[True][1] == runs[False][1]
+    assert runs[True][2] == runs[False][2]

@@ -10,7 +10,10 @@ from dr3_tpu.utils.config import Config
 
 @pytest.mark.slow
 def test_vo_with_sparse_align(kitti_seq):
-    vo = MonoVO(Pinhole.kitti(), Config(use_sparse_align=True))
+    # fused_frontend=False: this test also checks the per-stage Monitor
+    # timer is registered, which only the per-stage dispatch path records
+    vo = MonoVO(Pinhole.kitti(), Config(use_sparse_align=True,
+                                        fused_frontend=False))
     for img in kitti_seq:
         vo.process(img)
     assert vo.stage is Stage.GENERAL
@@ -20,3 +23,14 @@ def test_vo_with_sparse_align(kitti_seq):
     moving = dz[np.abs(dz) > 1e-6]
     assert (moving > 0).mean() > 0.9
     assert "sparse_img_align" in vo.report()
+
+
+@pytest.mark.slow
+def test_vo_sparse_align_fused(kitti_seq):
+    """use_sparse_align inside the fused one-dispatch frame step."""
+    vo = MonoVO(Pinhole.kitti(), Config(use_sparse_align=True))
+    for img in kitti_seq:
+        vo.process(img)
+    assert vo.stage is Stage.GENERAL
+    assert int(vo.map.n) > 100
+    assert "frame_step" in vo.report()

@@ -68,6 +68,11 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--distributed", action="store_true",
                     help="shard window BA over all local devices")
+    ap.add_argument("--no-loop", action="store_true",
+                    help="disable loop closure (debug/ablation)")
+    ap.add_argument("--sync", action="store_true",
+                    help="block after every frame (localizes async TPU "
+                         "faults to the frame that queued them)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -97,7 +102,7 @@ def main(argv=None):
         init_min_triangulated=30, init_min_disparity=2.0,
         kf_disparity=12.0,
         max_points=8192,            # modest capacity -> compactions happen
-        loop_closure=True, loop_db_capacity=64,
+        loop_closure=not args.no_loop, loop_db_capacity=64,
         loop_min_gap_frames=60, loop_min_score=0.6,
         loop_min_inliers=20, loop_cooldown_kfs=4,
     )
@@ -108,13 +113,21 @@ def main(argv=None):
         mesh = make_mesh()
     vo = MonoVO(cam, cfg, mesh=mesh)
 
+    import jax as _jax
+
     warm = min(40, args.frames // 4)
     t_all0 = time.perf_counter()
-    for f in frames[:warm]:
+    for i, f in enumerate(frames[:warm]):
         vo.process(f)
+        if args.sync:
+            _jax.block_until_ready(vo.map.xyz)
+            print(f"frame {i} ok (kf={vo.kf_count})", flush=True)
     t0 = time.perf_counter()
-    for f in frames[warm:]:
+    for i, f in enumerate(frames[warm:]):
         vo.process(f)
+        if args.sync:
+            _jax.block_until_ready(vo.map.xyz)
+            print(f"frame {warm + i} ok (kf={vo.kf_count})", flush=True)
     dt = time.perf_counter() - t0
     dt_all = time.perf_counter() - t_all0
     fps = (args.frames - warm) / dt
