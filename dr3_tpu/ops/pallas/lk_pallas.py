@@ -84,7 +84,17 @@ def _aligned_window(img_ref, y0, x0, size, variant: str, rows: int = _ROWS):
     (y0, x0) using an aligned vector load + in-register selection.
     ``rows`` = aligned region rows; must cover 7 (max sublane residual)
     + size. The per-iteration target loads use 24 instead of 32 — 25%
-    less data through the dynamic rotates on the hottest path."""
+    less data through the dynamic rotates on the hottest path.
+
+    Load bases are clamped to the padded image: an OOB vector load crashes
+    the TPU worker process, so the kernel must stay in-bounds for ANY
+    (y0, x0) — including garbage from non-finite track positions (a
+    clamped-out window reads border pixels and fails the ok gate later).
+    The clamp bounds are tile multiples (``_pad_image`` pads to 8/128
+    multiples plus slack), so the ``multiple_of`` alignment hints hold."""
+    h_pad, w_pad = img_ref.shape
+    y0 = jnp.clip(y0, 0, h_pad - rows)      # keeps residual y0-y8 in [0, 8)
+    x0 = jnp.clip(x0, 0, w_pad - _LANES)    # ... and x0-x128 in [0, 128)
     y8 = pl.multiple_of((y0 // 8) * 8, 8)
     x128 = pl.multiple_of((x0 // 128) * 128, 128)
     region = img_ref[pl.ds(y8, rows), pl.ds(x128, _LANES)]
@@ -243,8 +253,13 @@ def track_level_pallas(img_prev, img_next, pts_prev, guess,
     inx = _pad_image(img_next)
 
     max_xy = jnp.asarray([w - 1 + PAD, h - 1 + PAD], jnp.float32)
+    # clip passes NaN through, and floor(NaN)->int32 is undefined inside
+    # the kernel — replace non-finite coordinates (diverged/garbage track
+    # slots) with a safe interior point; such tracks fail the ok gate
     pts_pad = jnp.clip(pts_prev + PAD, float(PAD), max_xy)
     guess_pad = jnp.clip(guess + PAD, float(PAD), max_xy)
+    pts_pad = jnp.where(jnp.isfinite(pts_pad), pts_pad, float(PAD))
+    guess_pad = jnp.where(jnp.isfinite(guess_pad), guess_pad, float(PAD))
     meta = jnp.concatenate([pts_pad, guess_pad], axis=-1)  # [N, 4]
     if n_pad != n:
         filler = jnp.full((n_pad - n, 4), float(PAD + half_window + 2), meta.dtype)
@@ -300,7 +315,12 @@ def track_pyramid_pallas(pyr_prev: List[jnp.ndarray], pyr_next: List[jnp.ndarray
         interpret = not _is_tpu()
     n_levels = len(pyr_prev)
     guess = (pts if init is None else init) / (2.0 ** (n_levels - 1))
-    ok_all = jnp.ones(pts.shape[0], bool)
+    # a garbage slot sanitized to a safe interior point can still "track"
+    # there — non-finite inputs must report ok=False, not a fake success
+    finite_in = jnp.all(jnp.isfinite(pts), -1)
+    if init is not None:
+        finite_in = finite_in & jnp.all(jnp.isfinite(init), -1)
+    ok_all = finite_in
     err = jnp.zeros(pts.shape[0], pts.dtype)
     for lvl in range(n_levels - 1, -1, -1):
         pts_l = pts / (2.0 ** lvl)

@@ -192,7 +192,16 @@ def _triangulate_new(tracks: TrackState, kfs: KeyframeState, T_cur: SE3,
     originating keyframe (DLT + cheirality + reprojection + parallax gates,
     the per-keyframe analogue of initialization.cpp CheckRT)."""
     K = cam.K
-    need = tracks.valid & (tracks.point < 0) & (tracks.ref_kf >= 0)
+    # sanitize: invalid track slots can hold non-finite positions (diverged
+    # LK); they must not reach the batched eigh below (XLA's iterative
+    # eigh on non-finite input is undefined on TPU), so zero them and drop
+    # them from `need`
+    finite_px = jnp.all(jnp.isfinite(tracks.px), -1) \
+        & jnp.all(jnp.isfinite(tracks.ref_px), -1)
+    cur_px = jnp.where(finite_px[:, None], tracks.px, 0.0)
+    ref_px = jnp.where(finite_px[:, None], tracks.ref_px, 0.0)
+    need = tracks.valid & (tracks.point < 0) & (tracks.ref_kf >= 0) \
+        & finite_px
     ref_slot = jnp.clip(tracks.ref_kf, 0, kfs.wxyz.shape[0] - 1)
     T_ref = SE3(kfs.wxyz[ref_slot], kfs.t[ref_slot])  # [N] poses world->ref
 
@@ -213,8 +222,8 @@ def _triangulate_new(tracks: TrackState, kfs: KeyframeState, T_cur: SE3,
         r2 = p[..., 1:2] * P[..., 2, :] - P[..., 1, :]
         return r1, r2
 
-    a1, a2 = rows(P_ref, tracks.ref_px)
-    a3, a4 = rows(P_cur, tracks.px)
+    a1, a2 = rows(P_ref, ref_px)
+    a3, a4 = rows(P_cur, cur_px)
     A = jnp.stack([a1, a2, a3, a4], axis=-2)
     from dr3_tpu.geometry.linalg import smallest_eigvec_gram
 
@@ -226,8 +235,8 @@ def _triangulate_new(tracks: TrackState, kfs: KeyframeState, T_cur: SE3,
     xc_ref = T_ref.apply(X)
     xc_cur = T_cur.apply(X)
     front = (xc_ref[..., 2] > 1e-3) & (xc_cur[..., 2] > 1e-3)
-    e_ref = jnp.linalg.norm(cam.world2cam(xc_ref) - tracks.ref_px, axis=-1)
-    e_cur = jnp.linalg.norm(cam.world2cam(xc_cur) - tracks.px, axis=-1)
+    e_ref = jnp.linalg.norm(cam.world2cam(xc_ref) - ref_px, axis=-1)
+    e_cur = jnp.linalg.norm(cam.world2cam(xc_cur) - cur_px, axis=-1)
     reproj_ok = (e_ref < cfg.reproj_threshold) & (e_cur < cfg.reproj_threshold)
     c_ref = T_ref.center()
     c_cur = T_cur.center()

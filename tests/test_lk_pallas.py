@@ -53,3 +53,28 @@ def test_pallas_flat_region_rejected():
     res = track_pyramid_pallas(pyr, pyr, jnp.asarray([[50.0, 50.0]]),
                                jnp.ones(1, bool), half_window=7, interpret=True)
     assert not bool(res.ok[0])
+
+
+def test_pallas_nonfinite_positions_safe(rng):
+    """NaN/inf/out-of-range positions (diverged or empty track slots) must
+    not reach the kernel's dynamic loads — on TPU an OOB vector load
+    crashes the worker process. Garbage tracks return finite output with
+    ok=False; healthy tracks are unaffected."""
+    img = smooth(rng)
+    img2 = ndimage.shift(img, (1.2, -0.8), order=1, mode="nearest").astype(np.float32)
+    p1 = pyramid.build_pyramid(jnp.asarray(img), 3)
+    p2 = pyramid.build_pyramid(jnp.asarray(img2), 3)
+    pts = np.stack(np.meshgrid(np.arange(30, 130, 16), np.arange(30, 98, 16)),
+                   -1).reshape(-1, 2).astype(np.float32)
+    bad = pts.copy()
+    bad[0] = [np.nan, np.nan]
+    bad[1] = [np.inf, -np.inf]
+    bad[2] = [-1e9, 1e9]
+    bad[3] = [1e4, -1e4]
+    v = jnp.ones(len(bad), bool)
+    res = track_pyramid_pallas(p1, p2, jnp.asarray(bad), v, half_window=7,
+                               iters=8, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(res.pos)))
+    ok = np.asarray(res.ok)
+    assert not ok[:3].any()   # garbage slots are rejected
+    assert ok[4:].mean() > 0.8  # healthy tracks still track
