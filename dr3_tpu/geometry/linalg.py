@@ -14,15 +14,31 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def smallest_eigvec_gram(A: jnp.ndarray) -> jnp.ndarray:
+def smallest_eigvec_gram(A: jnp.ndarray, iters: int = 10) -> jnp.ndarray:
     """Right-singular vector of A [..., m, n] for its smallest singular value.
 
-    Computed as the eigenvector of A^T A for the smallest eigenvalue. `eigh`
-    returns ascending eigenvalues, so column 0 is the null direction.
+    Computed by fixed-count **inverse power iteration** on the Gram matrix
+    A^T A (damped to PD, Cholesky factored once, ``iters`` unrolled
+    triangular solves). Deliberately NOT ``jnp.linalg.eigh``: on TPU the
+    batched eigh lowers to a data-dependent iterative loop — unbounded
+    latency on pathological batches — while this is a static program of
+    n^3/3-flop solves on the VPU. DLT null spaces have a large eigen-gap,
+    so ~10 iterations reach f32 accuracy; in a (near-)degenerate pencil any
+    vector of the small-eigenvalue subspace is geometrically acceptable.
     """
     G = jnp.einsum("...ji,...jk->...ik", A, A)
-    _, vecs = jnp.linalg.eigh(G)
-    return vecs[..., :, 0]
+    n = G.shape[-1]
+    eye = jnp.eye(n, dtype=G.dtype)
+    tr = jnp.trace(G, axis1=-2, axis2=-1)[..., None, None]
+    Gd = G + (1e-7 * tr + 1e-20) * eye
+    # fixed full-ones start: generic w.r.t. the null direction after the
+    # first iteration (exact orthogonality does not survive one solve in f32)
+    v = jnp.ones(G.shape[:-1], dtype=G.dtype)
+    for _ in range(iters):
+        v = chol_solve_small(Gd, v)
+        v = v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v
 
 
 def solve_psd(A: jnp.ndarray, b: jnp.ndarray, damping: float = 0.0) -> jnp.ndarray:
