@@ -65,6 +65,17 @@ def _detect(pyr, cfg: Config, occupancy=None):
                                    occupancy=occupancy)
 
 
+@jax.jit
+def _traj_mats(wxyz_c, t_c, wxyz_a, t_a):
+    """[2, 4, 4]: global (T_cur @ T_anchor) and local T_cur matrices in ONE
+    device program — the un-jitted SE3 chain this replaces was ~30 primitive
+    dispatches per frame, each a remote-relay round trip on the axon
+    platform."""
+    Tc = SE3(wxyz_c, t_c)
+    Tg = (Tc @ SE3(wxyz_a, t_a)).matrix()
+    return jnp.stack([Tg, Tc.matrix()])
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _track(pyr_prev, pyr_cur, tracks: TrackState, cfg: Config):
     res = lk.track_pyramid_auto(pyr_prev, pyr_cur, tracks.px, tracks.valid,
@@ -513,9 +524,11 @@ class MonoVO:
         self.monitor.toc("global")
         # report in the global frame: local pose chained through the anchor
         # set at the last relocalization (identity unless tracking was lost)
-        T = np.array((self.T_cur @ self.T_anchor).matrix())
+        mats = np.asarray(_traj_mats(self.T_cur.wxyz, self.T_cur.t,
+                                     self.T_anchor.wxyz, self.T_anchor.t))
+        T = mats[0]
         self.trajectory.append(T)
-        self._traj_local.append(np.array(self.T_cur.matrix()))
+        self._traj_local.append(mats[1])
         return T
 
     def _process_first(self, pyr):

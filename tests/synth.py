@@ -26,17 +26,73 @@ def make_textures(rng, size=1600):
     return tex(0), tex(1)
 
 
-def render_scene(cam, T: SE3, tex_near, tex_far, z_near=6.0, z_far=14.0,
+def _np_skew(omega):
+    return np.array([[0.0, -omega[2], omega[1]],
+                     [omega[2], 0.0, -omega[0]],
+                     [-omega[1], omega[0], 0.0]], np.float64)
+
+
+class NpSE3:
+    """Pure-numpy world->cam rigid transform for fixture generation.
+
+    On the axon/TPU platform every un-jitted jnp op round-trips the remote
+    relay, so pose math feeding the numpy renderer must stay on host.
+    Mirrors dr3_tpu.geometry.lie.SE3.exp exactly: tangent [rho, omega],
+    t = V(omega) @ rho with the left Jacobian V.
+    """
+
+    def __init__(self, R, t):
+        self.R = np.asarray(R, np.float64)
+        self.t = np.asarray(t, np.float64)
+
+    @classmethod
+    def exp(cls, tangent):
+        tangent = np.asarray(tangent, np.float64)
+        rho, omega = tangent[:3], tangent[3:]
+        theta = float(np.linalg.norm(omega))
+        K = _np_skew(omega)
+        if theta < 1e-8:
+            R = np.eye(3) + K + 0.5 * (K @ K)
+            V = np.eye(3) + 0.5 * K + (K @ K) / 6.0
+        else:
+            A = np.sin(theta) / theta
+            B = (1.0 - np.cos(theta)) / theta**2
+            C = (theta - np.sin(theta)) / theta**3
+            R = np.eye(3) + A * K + B * (K @ K)
+            V = np.eye(3) + B * K + C * (K @ K)
+        return cls(R, V @ rho)
+
+    def center(self):
+        return (-self.R.T @ self.t).astype(np.float32)
+
+
+def _pose_rt(T):
+    """(R, t) of a world->cam pose as numpy float32, without device ops."""
+    if isinstance(T, NpSE3):
+        return T.R.astype(np.float32), T.t.astype(np.float32)
+    w, x, y, z = (float(v) for v in np.asarray(T.wxyz, np.float64))
+    n = (w * w + x * x + y * y + z * z) ** -0.5
+    w, x, y, z = w * n, x * n, y * n, z * n
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+    return R, np.asarray(T.t, np.float32)
+
+
+def render_scene(cam, T, tex_near, tex_far, z_near=6.0, z_far=14.0,
                  near_halfw=2.2, near_halfh=1.6, px_per_unit=60.0):
-    """Render the scene from world->cam pose T. The near plane (z=z_near)
-    occupies |x|<near_halfw, |y|<near_halfh; the far plane fills the rest."""
+    """Render the scene from world->cam pose T (SE3 or NpSE3). The near
+    plane (z=z_near) occupies |x|<near_halfw, |y|<near_halfh; the far plane
+    fills the rest."""
     h, w = cam.height, cam.width
     fx, fy = float(cam.fx), float(cam.fy)
     cx, cy = float(cam.cx), float(cam.cy)
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
-    Tinv = T.inverse()
-    R = np.asarray(Tinv.rotation().matrix())
-    t = np.asarray(Tinv.t)
+    R_wc, t_wc = _pose_rt(T)
+    R = R_wc.T                      # cam->world rotation
+    t = -R_wc.T @ t_wc              # camera center in world
     d_cam = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], -1)
     d_w = d_cam @ R.T
 

@@ -32,15 +32,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def make_sequence(n_frames: int, width: int, height: int, rng):
     """Ground-truth poses + rendered frames: lateral out-and-back sweeps
-    (several periods -> revisits for loop closure) with gentle yaw wobble."""
-    import jax.numpy as jnp
+    (several periods -> revisits for loop closure) with gentle yaw wobble.
 
-    from dr3_tpu.geometry.lie import SE3
+    Pose math and rendering are pure numpy (NpSE3): on the axon platform
+    every un-jitted jnp op is a remote-relay round-trip, which turned the
+    old SE3-based generator into minutes of host<->TPU chatter before the
+    pipeline even started."""
     from dr3_tpu.models.camera import Pinhole
-    from tests.synth import make_textures, render_scene
+    from tests.synth import NpSE3, make_textures, render_scene
+
+    from types import SimpleNamespace
 
     f = 0.875 * width
     cam = Pinhole.create(width, height, f, f, width / 2.0, height / 2.0)
+    # plain-float camera view for the renderer: float(cam.fx) on an axon
+    # Pinhole is a device fetch per access, 4x per frame
+    host_cam = SimpleNamespace(width=width, height=height, fx=f, fy=f,
+                               cx=width / 2.0, cy=height / 2.0)
     tex_near, tex_far = make_textures(rng)
 
     period = 100
@@ -52,8 +60,8 @@ def make_sequence(n_frames: int, width: int, height: int, rng):
         y = 0.08 * np.sin(2.0 * phase)
         yaw = 0.02 * np.sin(phase)
         tau = np.asarray([-x, -y, 0.0, 0.0, yaw, 0.0], np.float32)
-        poses.append(SE3.exp(jnp.asarray(tau)))
-    frames = [np.asarray(render_scene(cam, T, tex_near, tex_far))
+        poses.append(NpSE3.exp(tau))
+    frames = [np.asarray(render_scene(host_cam, T, tex_near, tex_far))
               for T in poses]
     return cam, poses, frames
 
@@ -70,6 +78,9 @@ def main(argv=None):
                     help="shard window BA over all local devices")
     ap.add_argument("--no-loop", action="store_true",
                     help="disable loop closure (debug/ablation)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="per-stage dispatches instead of the fused frontend "
+                         "(with --sync, attributes a TPU fault to its stage)")
     ap.add_argument("--sync", action="store_true",
                     help="block after every frame (localizes async TPU "
                          "faults to the frame that queued them)")
@@ -105,6 +116,7 @@ def main(argv=None):
         loop_closure=not args.no_loop, loop_db_capacity=64,
         loop_min_gap_frames=60, loop_min_score=0.6,
         loop_min_inliers=20, loop_cooldown_kfs=4,
+        fused_frontend=not args.no_fused,
     )
     mesh = None
     if args.distributed:
