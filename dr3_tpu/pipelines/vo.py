@@ -140,7 +140,7 @@ def _pose_optimize(tracks: TrackState, map_xyz, map_valid, T_guess: SE3,
 
 @functools.partial(jax.jit, static_argnums=(7,))
 def _general_step(img, pyr_prev, tracks: TrackState, map_xyz, map_valid,
-                  T_cur: SE3, cam: Pinhole, cfg: Config):
+                  T_cur: SE3, cam: Pinhole, cfg: Config, last_kf_slot=None):
     """The WHOLE general-frame hot path as one XLA program: pyramid build,
     optional sparse image alignment, pyramidal LK (+ template alignment),
     motion-only pose GN, reprojection gating, and the keyframe-decision
@@ -169,8 +169,15 @@ def _general_step(img, pyr_prev, tracks: TrackState, map_xyz, map_valid,
     T_out = SE3(jnp.where(accept, T_new.wxyz, T_cur.wxyz),
                 jnp.where(accept, T_new.t, T_cur.t))
 
+    # keyframe-disparity statistic: median motion since the LAST keyframe
+    # (SVO semantics). Only tracks spawned at the last keyframe carry a
+    # ref_px captured there; older cohorts measure disparity to older
+    # keyframes and would keep re-triggering keyframes every frame once any
+    # threshold is crossed. Empty cohort -> NaN -> the host gate ignores it.
     disp = jnp.linalg.norm(tracks.px - tracks.ref_px, axis=-1)
-    med = jnp.nanmedian(jnp.where(tracks.valid, disp, jnp.nan))
+    in_cohort = tracks.valid if last_kf_slot is None \
+        else tracks.valid & (tracks.ref_kf == last_kf_slot)
+    med = jnp.nanmedian(jnp.where(in_cohort, disp, jnp.nan))
     n_tracked = jnp.sum(tracks.valid.astype(jnp.int32))
     stats = jnp.stack([n_inl.astype(jnp.float32), med,
                        n_tracked.astype(jnp.float32)])
@@ -186,6 +193,13 @@ def _keyframe_step(pyr, tracks: TrackState, kfs: KeyframeState, T_cur: SE3,
     tracks, map_state, cursor, n_new = _triangulate_new(
         tracks, kfs, T_cur, map_state, point_cursor, cam, cfg)
     tracks, n_spawned = _spawn_tracks(pyr, tracks, cfg, kf_slot, img_hw)
+    # re-anchor triangulated tracks at THIS keyframe: their ref_px/ref_kf no
+    # longer feed triangulation (point >= 0), so repurposing them keeps the
+    # keyframe-disparity statistic measuring motion since the last keyframe
+    has_pt = tracks.valid & (tracks.point >= 0)
+    tracks = tracks._replace(
+        ref_px=jnp.where(has_pt[:, None], tracks.px, tracks.ref_px),
+        ref_kf=jnp.where(has_pt, kf_slot, tracks.ref_kf))
     if cfg.feature_align:
         half = (tracks.ref_patch.shape[-1] - 1) // 2
         fresh = lk.extract_patches(pyr[0], tracks.px, half)
@@ -595,7 +609,11 @@ class MonoVO:
         self.point_cursor = int(jnp.sum(good.astype(jnp.int32)))
         self.tracks = self.tracks._replace(
             point=jnp.where(good, rank, -1).astype(jnp.int32),
-            valid=self.tracks.valid & good)
+            valid=self.tracks.valid & good,
+            # survivors are all triangulated: re-anchor at this keyframe
+            # (slot 1) so the disparity cohort is non-empty after init
+            ref_px=self.tracks.px,
+            ref_kf=jnp.ones_like(self.tracks.ref_kf))
         self.T_cur = result.T_cur_ref  # ref kf pose is identity
         self._snapshot_kf(1, self.frame_idx)
         self._loop_db_insert(pyr)
@@ -613,7 +631,8 @@ class MonoVO:
         self.monitor.tic("frame_step")
         pyr, tracks, T_new, stats = _general_step(
             img, self.pyr_prev, self.tracks, self.map.xyz, self.map.valid,
-            self.T_cur, self.cam, cfg)
+            self.T_cur, self.cam, cfg,
+            jnp.asarray(self.kf_count - 1, jnp.int32))
         stats = np.asarray(stats)  # ONE device->host fetch (syncs the step)
         self.monitor.toc("frame_step")
         n_inliers = int(stats[0])
@@ -675,8 +694,9 @@ class MonoVO:
         n_tracked = int(self.tracks.n)
 
         disp = jnp.linalg.norm(self.tracks.px - self.tracks.ref_px, axis=-1)
-        med = float(jnp.nanmedian(jnp.where(self.tracks.valid, disp,
-                                            jnp.nan)))
+        in_cohort = self.tracks.valid & \
+            (self.tracks.ref_kf == self.kf_count - 1)  # see _general_step
+        med = float(jnp.nanmedian(jnp.where(in_cohort, disp, jnp.nan)))
         is_kf = self._keyframe_needed(n_inliers, med)
         if is_kf:
             self._make_keyframe(pyr)
@@ -778,6 +798,13 @@ class MonoVO:
                 self.tracks = self.tracks._replace(
                     ref_patch=jnp.where(self.tracks.valid[:, None, None],
                                         fresh, self.tracks.ref_patch))
+            # re-anchor triangulated tracks (see _keyframe_step)
+            has_pt = self.tracks.valid & (self.tracks.point >= 0)
+            self.tracks = self.tracks._replace(
+                ref_px=jnp.where(has_pt[:, None], self.tracks.px,
+                                 self.tracks.ref_px),
+                ref_kf=jnp.where(has_pt, jnp.int32(slot),
+                                 self.tracks.ref_kf))
             self.monitor.toc("detect", block=self.tracks.px)
 
         self._snapshot_kf(slot, self.frame_idx)
