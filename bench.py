@@ -21,27 +21,44 @@ which would measure tunnel latency, not chip throughput.
 * ``ba_bal_lm_iters_per_sec`` — LM iterations/sec of the exact Snavely BAL
   objective at BAL scale (120 cams x 60k points x 480k observations,
   matrix-free PCG + SCHUR_JACOBI).
-* ``pipeline_frames_per_sec`` — wall-clock frames/sec of the FULL MonoVO
-  driver (detection, tracking, pose optimization, keyframe triangulation,
-  window BA) over the KITTI fixture frames, host dispatch included. This is
-  what a user of run_slam.py gets end to end; on this bench host every
-  device call crosses a remote relay (~10 ms), so it is a lower bound on
-  colocated-host throughput.
+* ``pipeline_frames_per_sec_incl_host_relay`` — wall-clock frames/sec of
+  the FULL MonoVO driver (detection, tracking, pose optimization, keyframe
+  triangulation, window BA) over the KITTI fixture frames, host dispatch
+  included. This is what a user of run_slam.py gets end to end; on this
+  bench host every device call crosses a remote relay (~10 ms), so it is a
+  lower bound on colocated-host throughput.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 anchor is the KITTI capture rate — 10 frames/sec — i.e. vs_baseline = x
 means x-times real-time (stated here because the JSON must carry its own
 definition).
+
+Crash isolation: each metric runs in its OWN subprocess (``--metric X``
+re-invokes this file). A TPU-worker crash in one metric (historically: the
+full-pipeline run, BENCH_r02) then costs only that metric; the parent
+assembles whatever survived and reports the per-metric errors in "extra".
+The parent process never imports jax.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+# (name, per-subprocess timeout seconds). Order = cheapest/safest first so
+# an early wall-clock kill preserves the most evidence; the full-pipeline
+# driver (the one metric that has crashed the worker before) runs last.
+METRICS = (
+    ("frontend", 2700),
+    ("window_ba", 1800),
+    ("bal_ba", 1800),
+    ("pipeline", 2700),
+)
 
 
 def _bench_frontend(jax, jnp):
@@ -202,37 +219,98 @@ def _bench_pipeline(jax, jnp):
     return (n_total - warm) / dt
 
 
-def main():
+def run_one(name: str) -> None:
+    """Child-process entry: run one metric, print one JSON line."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from dr3_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
     import jax
+
+    if os.environ.get("BENCH_PLATFORM"):  # e.g. cpu — harness debugging
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
-    fps = _bench_frontend(jax, jnp)
+    if name == "frontend":
+        val = _bench_frontend(jax, jnp)
+    elif name == "window_ba":
+        val = _bench_window_ba(jax, jnp, rng)
+    elif name == "bal_ba":
+        val = _bench_bal_ba(jax, jnp, rng)
+    elif name == "pipeline":
+        val = _bench_pipeline(jax, jnp)
+    else:
+        raise SystemExit(f"unknown metric {name}")
+    print(json.dumps({"bench_metric": name,
+                      "value": None if val is None else round(float(val), 3)}))
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    results: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    skip = {
+        "window_ba": os.environ.get("BENCH_SKIP_BA", "0") == "1",
+        "bal_ba": os.environ.get("BENCH_SKIP_BA", "0") == "1",
+        "pipeline": os.environ.get("BENCH_SKIP_PIPELINE", "0") == "1",
+    }
+    for name, tmo in METRICS:
+        if skip.get(name):
+            continue
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--metric", name],
+                cwd=here, capture_output=True, text=True, timeout=tmo)
+        except subprocess.TimeoutExpired:
+            errors[name] = f"timeout after {tmo}s"
+            print(f"[bench] {name}: TIMEOUT {tmo}s", file=sys.stderr, flush=True)
+            continue
+        line = None
+        for ln in reversed(proc.stdout.strip().splitlines()):
+            if ln.startswith("{"):
+                line = ln
+                break
+        if proc.returncode == 0 and line:
+            try:
+                parsed = json.loads(line)
+                if parsed.get("value") is not None:
+                    results[name] = parsed["value"]
+                else:
+                    errors[name] = "metric returned null (missing fixtures?)"
+            except json.JSONDecodeError:
+                errors[name] = f"unparseable output: {line[:200]}"
+        else:
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+            errors[name] = f"rc={proc.returncode}: " + " | ".join(tail[-3:])[-400:]
+        # incremental evidence on stderr: survives a later hard kill
+        print(f"[bench] {name}: {results.get(name, errors.get(name))}",
+              file=sys.stderr, flush=True)
+
+    fps = results.get("frontend")
     extra = {}
-    if os.environ.get("BENCH_SKIP_BA", "0") != "1":
-        extra["ba_window_lm_iters_per_sec"] = round(
-            _bench_window_ba(jax, jnp, rng), 2)
-        extra["ba_bal_lm_iters_per_sec"] = round(
-            _bench_bal_ba(jax, jnp, rng), 2)
-    if os.environ.get("BENCH_SKIP_PIPELINE", "0") != "1":
-        pipe = _bench_pipeline(jax, jnp)
-        if pipe is not None:
-            extra["pipeline_frames_per_sec_incl_host_relay"] = round(pipe, 2)
+    if "window_ba" in results:
+        extra["ba_window_lm_iters_per_sec"] = results["window_ba"]
+    if "bal_ba" in results:
+        extra["ba_bal_lm_iters_per_sec"] = results["bal_ba"]
+    if "pipeline" in results:
+        extra["pipeline_frames_per_sec_incl_host_relay"] = results["pipeline"]
+    if errors:
+        extra["errors"] = errors
 
     print(json.dumps({
         "metric": "vo_frontend_frames_per_sec_per_chip",
-        "value": round(fps, 3),
+        "value": round(fps, 3) if fps is not None else 0.0,
         "unit": "frames/s (KITTI 1240x376; pyramid+LK+pose-GN; baseline "
                 "anchor = 10 Hz KITTI capture rate, self-chosen — the "
                 "reference publishes no numbers)",
-        "vs_baseline": round(fps / 10.0, 3),
+        "vs_baseline": round(fps / 10.0, 3) if fps is not None else 0.0,
         "extra": extra,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--metric":
+        run_one(sys.argv[2])
+    else:
+        main()

@@ -25,8 +25,10 @@ This core assembles everything **per observation** and offers two solves:
 An optional *global* parameter block g of size G (the shared fx/fy/cx/cy
 intrinsics the reference optimizes as a 4-param block,
 include/optimizer.hpp:114-118, src/optimizer.cpp:144-153) is eliminated
-jointly with the cameras in the explicit path: the reduced system becomes
-[(K*C + G) x (K*C + G)].
+jointly with the cameras in BOTH paths: explicitly the reduced system
+becomes [(K*C + G) x (K*C + G)]; in the pcg path the tiny global couplings
+(S_gc [K, G, C], S_gg [G, G]) assemble explicitly and border the
+matrix-free camera operator, so CG runs on the exact same system.
 
 Everything is static-shape, jit- and shard_map-safe; padding observations
 must carry zero rows in r/J (linearize folds weights in) and
@@ -231,9 +233,6 @@ def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
         dg = x[K * C:] if has_g else None
 
     elif method == "pcg":
-        if has_g:
-            raise NotImplementedError("pcg path supports G=0 only")
-        dg = None
         # SCHUR_JACOBI preconditioner: block diagonal of S (same-observation
         # terms; reference src/optimizer.cpp:161)
         M = Hcc_d - jax.ops.segment_sum(
@@ -246,8 +245,30 @@ def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
         keep_c = keep[:, None]
         fixed_c = 1.0 - keep_c
 
+        # shared-intrinsics block: only the CAMERA part of the reduced
+        # system is kept matrix-free; the global couplings S_gc [K, G, C]
+        # and S_gg [G, G] are tiny at any scale (G = 4), so they assemble
+        # explicitly — the CG operator is then the exact bordered system
+        # [[S, S_gc^T], [S_gc, S_gg]], same math as the explicit path
+        # (reference global_BA's variable intrinsics block,
+        # src/optimizer.cpp:144-153).
+        if has_g:
+            Hgg_d = _damp(blocks.Hgg, lam)
+            Wg = jax.ops.segment_sum(blocks.GtB, blocks.obs_pt,
+                                     num_segments=P)          # [P, G, 3]
+            WgHinv = jnp.einsum("pgj,pjl->pgl", Wg, Hpp_inv)  # [P, G, 3]
+            S_gg = Hgg_d - jnp.einsum("pgl,phl->gh", WgHinv, Wg) \
+                + 1e-7 * jnp.eye(G, dtype=Hgg_d.dtype)
+            S_gc = blocks.Hgc - jax.ops.segment_sum(
+                jnp.einsum("ogl,ocl->ogc", WgHinv[blocks.obs_pt], blocks.AtB),
+                blocks.obs_cam, num_segments=K)               # [K, G, C]
+            rhs_g = blocks.bg - jnp.einsum("pgl,pl->g", WgHinv, blocks.bp)
+        else:
+            rhs_g = jnp.zeros((0,), rhs_c.dtype)
+
         def s_mv(x):
-            xk = x * keep_c
+            xc, xg = x
+            xk = xc * keep_c
             u = jax.ops.segment_sum(
                 jnp.einsum("ocj,oc->oj", blocks.AtB, xk[blocks.obs_cam]),
                 blocks.obs_pt, num_segments=P)
@@ -255,36 +276,50 @@ def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
             y = jnp.einsum("kcd,kd->kc", Hcc_d, xk) - jax.ops.segment_sum(
                 jnp.einsum("ocj,oj->oc", blocks.AtB, v[blocks.obs_pt]),
                 blocks.obs_cam, num_segments=K)
-            return y * keep_c + x * fixed_c
+            if has_g:
+                y = y + jnp.einsum("kgc,g->kc", S_gc, xg)
+                yg = jnp.einsum("kgc,kc->g", S_gc, xk) \
+                    + jnp.einsum("gh,h->g", S_gg, xg)
+            else:
+                yg = xg
+            return y * keep_c + xc * fixed_c, yg
 
         def m_inv(r):
-            return chol_solve_small(M, r)
+            rc, rg = r
+            zg = chol_solve_small(S_gg, rg) if has_g else rg
+            return chol_solve_small(M, rc), zg
 
-        b = rhs_c * keep_c
-        bs = jnp.sum(b * b)
-        x0 = jnp.zeros_like(b)
+        def dot(a, b):
+            return jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1])
+
+        b = (rhs_c * keep_c, rhs_g)
+        bs = dot(b, b)
+        x0 = (jnp.zeros_like(b[0]), jnp.zeros_like(b[1]))
         r0 = b
         z0 = m_inv(r0)
         p0 = z0
-        rz0 = jnp.sum(r0 * z0)
+        rz0 = dot(r0, z0)
 
         def cond(st):
             i, x, r, p, rz = st
-            return (i < cg_iters) & (jnp.sum(r * r) > cg_tol**2 * bs)
+            return (i < cg_iters) & (dot(r, r) > cg_tol**2 * bs)
 
         def step(st):
             i, x, r, p, rz = st
             Ap = s_mv(p)
-            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
-            x = x + alpha * p
-            r = r - alpha * Ap
+            alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+            x = jax.tree.map(lambda xi, pi: xi + alpha * pi, x, p)
+            r = jax.tree.map(lambda ri, ai: ri - alpha * ai, r, Ap)
             z = m_inv(r)
-            rz_new = jnp.sum(r * z)
+            rz_new = dot(r, z)
             beta = rz_new / jnp.maximum(rz, 1e-30)
-            return i + 1, x, r, z + beta * p, rz_new
+            p_new = jax.tree.map(lambda zi, pi: zi + beta * pi, z, p)
+            return i + 1, x, r, p_new, rz_new
 
-        _, dc, _, _, _ = jax.lax.while_loop(cond, step,
-                                            (jnp.asarray(0), x0, r0, p0, rz0))
+        _, (dc, dg), _, _, _ = jax.lax.while_loop(
+            cond, step, (jnp.asarray(0), x0, r0, p0, rz0))
+        if not has_g:
+            dg = None
     else:
         raise ValueError(f"unknown schur method {method!r}")
 

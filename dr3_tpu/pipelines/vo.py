@@ -140,7 +140,7 @@ def _pose_optimize(tracks: TrackState, map_xyz, map_valid, T_guess: SE3,
 
 @functools.partial(jax.jit, static_argnums=(7,))
 def _general_step(img, pyr_prev, tracks: TrackState, map_xyz, map_valid,
-                  T_cur: SE3, cam: Pinhole, cfg: Config, last_kf_slot=None):
+                  T_cur: SE3, cam: Pinhole, cfg: Config, last_kf_slot):
     """The WHOLE general-frame hot path as one XLA program: pyramid build,
     optional sparse image alignment, pyramidal LK (+ template alignment),
     motion-only pose GN, reprojection gating, and the keyframe-decision
@@ -175,8 +175,7 @@ def _general_step(img, pyr_prev, tracks: TrackState, map_xyz, map_valid,
     # keyframes and would keep re-triggering keyframes every frame once any
     # threshold is crossed. Empty cohort -> NaN -> the host gate ignores it.
     disp = jnp.linalg.norm(tracks.px - tracks.ref_px, axis=-1)
-    in_cohort = tracks.valid if last_kf_slot is None \
-        else tracks.valid & (tracks.ref_kf == last_kf_slot)
+    in_cohort = tracks.valid & (tracks.ref_kf == last_kf_slot)
     med = jnp.nanmedian(jnp.where(in_cohort, disp, jnp.nan))
     n_tracked = jnp.sum(tracks.valid.astype(jnp.int32))
     stats = jnp.stack([n_inl.astype(jnp.float32), med,

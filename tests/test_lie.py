@@ -126,3 +126,27 @@ def test_pytree_registration():
     assert len(leaves) == 2
     T2 = jax.tree.map(lambda x: x * 1.0, T)
     assert isinstance(T2, SE3)
+
+
+def test_synth_npse3_matches_se3(rng):
+    """Pin the fixture generator's pure-numpy pose math (tests/synth.py
+    NpSE3/_pose_rt) to the pipeline's SE3 — a convention change in
+    geometry/lie.py must fail here, not silently desynchronize ground
+    truth from the estimator (advisor round-2 finding)."""
+    from tests.synth import NpSE3, _pose_rt
+
+    taus = rng.normal(size=(32, 6)).astype(np.float32)
+    taus[:, 3:] = clamp_angle(taus[:, 3:])
+    taus[0, 3:] = 0.0                      # exactly zero rotation
+    taus[1, 3:] = [1e-9, 0.0, 0.0]        # small-theta branch
+    for tau in taus:
+        T_np = NpSE3.exp(tau)
+        T_jx = SE3.exp(jnp.asarray(tau))
+        M = np.asarray(T_jx.matrix())
+        np.testing.assert_allclose(T_np.R, M[:3, :3], atol=1e-5)
+        np.testing.assert_allclose(T_np.t, M[:3, 3], atol=1e-5)
+        np.testing.assert_allclose(T_np.center(), np.asarray(T_jx.center()),
+                                   atol=1e-5)
+        R, t = _pose_rt(T_jx)  # quaternion->matrix path used by the renderer
+        np.testing.assert_allclose(R, M[:3, :3], atol=1e-5)
+        np.testing.assert_allclose(t, M[:3, 3], atol=1e-6)

@@ -214,3 +214,67 @@ def test_apply_update_intrinsics():
     p2 = apply_update(prob, jnp.zeros((3, 6)), jnp.zeros_like(prob.points), d)
     np.testing.assert_allclose(np.asarray(p2.intrinsics - prob.intrinsics),
                                np.asarray(d), atol=1e-6)
+
+
+def _step_with_g(p, lam, method, huber_delta=5.0):
+    res = linearize(p, huber_delta, with_intrinsics=True)
+    active = (p.obs_w > 0) & res.valid
+    blocks = assemble_blocks(res.r, res.Jc, res.Jp, p.obs_cam, p.obs_pt,
+                             active, p.n_cams, p.n_points, Jg=res.Jg)
+    return solve_schur(blocks, lam, p.cam_fixed, method=method,
+                       d_max=p.n_cams, cg_iters=600, cg_tol=1e-8)
+
+
+def test_pcg_intrinsics_matches_explicit(rng):
+    """The bordered-system CG (matrix-free cameras + explicit tiny global
+    couplings) must reproduce the explicit joint solve — the round-2 gap
+    where pcg raised NotImplementedError for G>0."""
+    prob, *_ = synthetic_ba(rng, n_cams=6, n_pts=80, noise_px=0.4,
+                            pose_noise=0.03)
+    for lam in (1e-3, 1e-1):
+        dc_e, dp_e, dg_e = _step_with_g(prob, lam, "explicit")
+        dc_p, dp_p, dg_p = _step_with_g(prob, lam, "pcg")
+        assert dg_e is not None and dg_p is not None
+        np.testing.assert_allclose(np.asarray(dg_p), np.asarray(dg_e),
+                                   atol=5e-3, rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(dc_p), np.asarray(dc_e),
+                                   atol=5e-3, rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(dp_p), np.asarray(dp_e),
+                                   atol=5e-3, rtol=5e-3)
+
+
+def test_intrinsics_recovery_pcg_many_cams(rng):
+    """Joint intrinsics past _EXPLICIT_MAX_CAMS: the auto solver routes to
+    PCG and must still recover a 2% focal perturbation (global_refine with
+    optimize_intrinsics at global-BA scale, src/optimizer.cpp:144-153)."""
+    n_cams, n_pts = 72, 260
+    pts = np.stack([rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts),
+                    rng.uniform(8, 16, n_pts)], -1).astype(np.float32)
+    taus = np.zeros((n_cams, 6), np.float32)
+    i = np.arange(n_cams)
+    taus[:, 0] = 0.05 * i
+    taus[:, 1] = 0.35 * (-1.0) ** i
+    taus[:, 4] = 0.01 * i
+    taus[:, 5] = 0.12 * np.sin(i)
+    cams_true = SE3.exp(jnp.asarray(taus))
+    obs_cam, obs_pt = [], []
+    for k in range(n_cams):
+        lo = int(k * (n_pts - 120) / (n_cams - 1))
+        obs_cam += [k] * 120
+        obs_pt += list(range(lo, lo + 120))
+    obs_cam = np.asarray(obs_cam, np.int32)
+    obs_pt = np.asarray(obs_pt, np.int32)
+    uv = project(INTR, cams_true[obs_cam].apply(jnp.asarray(pts)[obs_pt]))
+    d = rng.normal(0, 0.005, (n_cams, 6)).astype(np.float32)
+    d[:2] = 0.0
+    cams0 = SE3.exp(jnp.asarray(d)) @ cams_true
+    pts0 = pts + rng.normal(0, 0.02, pts.shape).astype(np.float32)
+    fixed = jnp.zeros(n_cams, bool).at[0].set(True).at[1].set(True)
+    bad = INTR * jnp.asarray([1.02, 0.98, 1.0, 1.0])
+    prob = make_problem(cams0, pts0, bad, obs_cam, obs_pt, uv,
+                        cam_fixed=fixed)
+    res = bundle_adjust(prob, 25, optimize_intrinsics=True)  # auto -> pcg
+    fx, fy = float(res.problem.intrinsics[0]), float(res.problem.intrinsics[1])
+    assert abs(fx - float(INTR[0])) / float(INTR[0]) < 2e-3, fx
+    assert abs(fy - float(INTR[1])) / float(INTR[1]) < 2e-3, fy
+    assert float(res.final_cost) < float(res.initial_cost) * 1e-2

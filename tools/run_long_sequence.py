@@ -44,11 +44,16 @@ def make_sequence(n_frames: int, width: int, height: int, rng):
     from types import SimpleNamespace
 
     f = 0.875 * width
-    cam = Pinhole.create(width, height, f, f, width / 2.0, height / 2.0)
+    # one dict of plain floats feeds BOTH the device camera (Pinhole.create)
+    # and the renderer's host-side view, so they cannot disagree if create's
+    # conventions ever change
+    intr = dict(width=width, height=height, fx=f, fy=f,
+                cx=width / 2.0, cy=height / 2.0)
+    cam = Pinhole.create(intr["width"], intr["height"], intr["fx"],
+                         intr["fy"], intr["cx"], intr["cy"])
     # plain-float camera view for the renderer: float(cam.fx) on an axon
     # Pinhole is a device fetch per access, 4x per frame
-    host_cam = SimpleNamespace(width=width, height=height, fx=f, fy=f,
-                               cx=width / 2.0, cy=height / 2.0)
+    host_cam = SimpleNamespace(**intr)
     tex_near, tex_far = make_textures(rng)
 
     period = 100
