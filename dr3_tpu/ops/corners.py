@@ -132,8 +132,13 @@ def corner_response(img: jnp.ndarray, fast_threshold: float) -> jnp.ndarray:
     """Fused per-level response: Shi-Tomasi score at NMS-surviving FAST
     corners, zero elsewhere. Backend dispatcher: the fused Pallas kernel on
     TPU (the jnp formulation materializes ~60 full-image temporaries through
-    HBM), the jnp oracle elsewhere."""
-    if jax.devices()[0].platform in ("tpu", "axon"):
+    HBM), the jnp oracle elsewhere. ``DR3_DETECT_BACKEND=xla`` forces the
+    jnp oracle on TPU too (crash bisection / fallback)."""
+    import os
+
+    if os.environ.get("DR3_DETECT_BACKEND", "").lower() == "xla":
+        pass
+    elif jax.devices()[0].platform in ("tpu", "axon"):
         from dr3_tpu.ops.pallas.detect_pallas import corner_response_map
 
         return corner_response_map(img, fast_threshold, interpret=False)

@@ -746,28 +746,32 @@ class MonoVO:
         self.point_cursor = int(n_live)
         self.n_compactions += 1
 
+    def _dump_kf_state(self, pyr, slot, tag=""):
+        """Debug hook (DR3_DUMP_KF=path): persist keyframe-step inputs so a
+        TPU worker crash inside a dispatch can be replayed in isolation
+        (tools/replay_kf.py)."""
+        import os as _os
+        if not _os.environ.get("DR3_DUMP_KF"):
+            return
+        np.savez(_os.environ["DR3_DUMP_KF"] + tag,
+                 **{f"pyr{i}": np.asarray(p) for i, p in enumerate(pyr)},
+                 **{f"tr_{k}": np.asarray(v) for k, v in
+                    self.tracks._asdict().items()},
+                 **{f"kf_{k}": np.asarray(v) for k, v in
+                    self.kfs._asdict().items()},
+                 map_xyz=np.asarray(self.map.xyz),
+                 map_valid=np.asarray(self.map.valid),
+                 T_wxyz=np.asarray(self.T_cur.wxyz),
+                 T_t=np.asarray(self.T_cur.t),
+                 cursor=self.point_cursor, slot=slot)
+
     def _make_keyframe(self, pyr):
         cfg = self.cfg
         slot = self._evict_oldest_if_full()
         self._compact_map_if_needed()
+        self._dump_kf_state(pyr, slot)
 
         if cfg.fused_frontend:
-            import os as _os
-            if _os.environ.get("DR3_DUMP_KF"):
-                # debug hook: persist kf_step inputs so a TPU worker crash
-                # inside the dispatch can be replayed in isolation
-                np.savez(_os.environ["DR3_DUMP_KF"],
-                         **{f"pyr{i}": np.asarray(p)
-                            for i, p in enumerate(pyr)},
-                         **{f"tr_{k}": np.asarray(v) for k, v in
-                            self.tracks._asdict().items()},
-                         **{f"kf_{k}": np.asarray(v) for k, v in
-                            self.kfs._asdict().items()},
-                         map_xyz=np.asarray(self.map.xyz),
-                         map_valid=np.asarray(self.map.valid),
-                         T_wxyz=np.asarray(self.T_cur.wxyz),
-                         T_t=np.asarray(self.T_cur.t),
-                         cursor=self.point_cursor, slot=slot)
             # triangulate + detect/spawn + template refresh in one dispatch
             self.monitor.tic("kf_step")
             self.tracks, self.map, cursor, n_new, n_spawned = _keyframe_step(
@@ -784,6 +788,7 @@ class MonoVO:
                 jnp.asarray(self.point_cursor, jnp.int32), self.cam, cfg)
             self.point_cursor = int(cursor)
             self.monitor.toc("triangulate", block=self.map.xyz)
+            self._dump_kf_state(pyr, slot, tag="_posttri")
 
             self.monitor.tic("detect")
             # spawn from the *current* frame's pyramid (positions live in

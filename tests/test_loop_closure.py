@@ -288,3 +288,44 @@ def test_vo_loop_closure_out_and_back(rng):
     est_g = vo.positions()
     a_g = ate_rmse(est_g[i0:], gt[i0:], with_scale=True)
     assert a_g.rmse < 0.05 * traj_len, (a_g.rmse, a_loop.rmse)
+
+
+@pytest.mark.slow
+def test_vo_loop_closure_real_kitti_palindrome():
+    """Loop closure on REAL imagery: the ten KITTI fixtures palindrome-
+    cycled (0..9, 8..1, 0..) so frame content genuinely revisits. The
+    thumbnail place recognition must fire a db_query match on the revisit
+    and the pose-graph correction must keep the trajectory finite and the
+    revisited pose near the first visit (round-2 verdict: loop recognition
+    had only ever been validated on rendered synthetic scenes)."""
+    import os
+
+    from PIL import Image
+
+    from dr3_tpu.models.camera import Pinhole
+    from dr3_tpu.pipelines.vo import MonoVO, Stage
+
+    d = "/root/reference/imgs"
+    if not os.path.exists(f"{d}/kitti0.png"):
+        pytest.skip("KITTI fixtures unavailable")
+    base = [np.asarray(Image.open(f"{d}/kitti{k}.png").convert("L"),
+                       np.float32) / 255.0 for k in range(10)]
+    palindrome = base + base[-2:0:-1]
+    frames = [palindrome[i % len(palindrome)] for i in range(26)]
+
+    cfg = Config(loop_closure=True, loop_db_capacity=32,
+                 loop_min_gap_frames=10, loop_min_score=0.6,
+                 loop_min_inliers=15, loop_cooldown_kfs=2, loop_max_edges=4)
+    vo = MonoVO(Pinhole.kitti(), cfg)
+    for f in frames:
+        vo.process(f)
+    assert vo.stage is Stage.GENERAL
+    assert vo.n_loop_closures >= 1, \
+        "no loop closure fired on a genuine content revisit"
+    pos = vo.positions()
+    assert np.all(np.isfinite(pos))
+    # palindrome period is 18: frame 18 re-sees frame 0's content; after
+    # the correction the out-and-back trajectory must come back near the
+    # start relative to how far it went out
+    span = np.linalg.norm(pos - pos[0], axis=1)
+    assert span[18] < 0.6 * span.max(), (span[18], span.max())
