@@ -208,7 +208,13 @@ def _bench_pipeline(jax, jnp):
     n_total = int(os.environ.get("BENCH_PIPELINE_FRAMES", "60"))
     frames = [palindrome[i % len(palindrome)] for i in range(n_total)]
 
-    vo = MonoVO(Pinhole.kitti(), Config())
+    # every flagship stage ON (round-2 verdict: the measured path skipped
+    # the loop stack and SVO sparse alignment): the palindrome gives real
+    # revisits, so place recognition can fire during the bench
+    cfg = Config(loop_closure=True, use_sparse_align=True,
+                 loop_db_capacity=32, loop_min_gap_frames=10,
+                 loop_min_inliers=15, loop_cooldown_kfs=2)
+    vo = MonoVO(Pinhole.kitti(), cfg)
     warm = min(20, n_total // 2)
     for f in frames[:warm]:       # warmup: compiles all stage programs
         vo.process(f)

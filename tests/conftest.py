@@ -34,6 +34,19 @@ def pytest_configure(config):
     assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_memory():
+    """Drop compiled-executable caches after every test module.
+
+    XLA:CPU compilation memory accumulates monotonically over the suite
+    (~6 GB RSS by mid-suite) and eventually SIGSEGVs the single-process
+    run (round-2 verdict). Modules rarely share compiled programs, so
+    clearing at module boundaries bounds RSS at negligible recompile
+    cost."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture()
 def rng(request):
     # fresh deterministic generator per test: no order dependence; seed

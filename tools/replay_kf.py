@@ -33,10 +33,15 @@ def main(argv=None):
     ap.add_argument("dump")
     ap.add_argument("--stage", default="spawn",
                     choices=["spawn", "triangulate", "fused", "patches",
-                             "occupancy", "detect"])
+                             "occupancy", "detect", "rank_scatter",
+                             "spawn_nodetect"])
     ap.add_argument("--warm", action="store_true",
                     help="run the VO front-end programs (pyramid+LK+pose GN) "
                          "before the replayed stage, mimicking in-run state")
+    ap.add_argument("--warm-lk", action="store_true",
+                    help="warm-up = pyramidal LK only")
+    ap.add_argument("--warm-pose", action="store_true",
+                    help="warm-up = pose GN only")
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -79,15 +84,17 @@ def main(argv=None):
     log(f"track px finite: {finite.sum()}/{len(finite)}; "
         f"valid: {int(np.asarray(tracks.valid).sum())}")
 
-    if args.warm:
-        log("warm-up: pyramid + LK + pose GN on the dump's own imagery")
+    if args.warm or args.warm_lk:
+        log("warm-up: pyramidal LK on the dump's own imagery")
         res = lk.track_pyramid_auto(pyr[:4], pyr[:4], tracks.px, tracks.valid,
                                     half_window=cfg.klt_window // 2,
                                     iters=cfg.klt_iters, eps=cfg.klt_eps)
         jax.block_until_ready(res.pos)
+        log("warm-up LK done")
+    if args.warm or args.warm_pose:
         T2, inl, n = vo._pose_optimize(tracks, mp.xyz, mp.valid, T, cam, cfg)
         jax.block_until_ready(T2.t)
-        log("warm-up done")
+        log("warm-up pose GN done")
 
     for rep in range(args.repeat):
         if args.stage == "spawn":
@@ -122,6 +129,68 @@ def main(argv=None):
             feats = vo._detect(pyr, cfg)
             jax.block_until_ready(feats.xy)
             log(f"rep{rep}: _detect OK (n={int(feats.n)})")
+        elif args.stage == "rank_scatter":
+            # the slot-rank allocation scatters of _spawn_tracks, alone
+            @jax.jit
+            def ranks(valid):
+                n = valid.shape[0]
+                free = ~valid
+                free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+                scatter_idx = jnp.where(free, free_rank, n)
+                slot_of_rank = jnp.full((n,), -1, jnp.int32).at[
+                    scatter_idx].set(jnp.arange(n, dtype=jnp.int32),
+                                     mode="drop")
+                return slot_of_rank
+
+            out = ranks(tracks.valid)
+            jax.block_until_ready(out)
+            log(f"rep{rep}: rank_scatter OK")
+        elif args.stage == "spawn_nodetect":
+            # _spawn_tracks body with the detect result replaced by a
+            # constant GridCorners — isolates occupancy+scatters+patches
+            from dr3_tpu.ops.corners import GridCorners, make_occupancy
+
+            n = tracks.px.shape[0]
+
+            @jax.jit
+            def body(pyr0, tracks_):
+                occ = make_occupancy(tracks_.px, tracks_.valid, (h, w),
+                                     cfg.cell_size)
+                xy = jnp.stack(
+                    [jnp.linspace(20.0, w - 20.0, n),
+                     jnp.linspace(20.0, h - 20.0, n)], -1)
+                feats = GridCorners(xy=xy.astype(jnp.float32),
+                                    level=jnp.zeros((n,), jnp.int32),
+                                    score=jnp.ones((n,), jnp.float32),
+                                    valid=~occ[:n] if occ.shape[0] >= n
+                                    else jnp.ones((n,), bool))
+                free = ~tracks_.valid
+                free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+                scatter_idx = jnp.where(free, free_rank, n)
+                slot_of_rank = jnp.full((n,), -1, jnp.int32).at[
+                    scatter_idx].set(jnp.arange(n, dtype=jnp.int32),
+                                     mode="drop")
+                new_rank = jnp.cumsum(feats.valid.astype(jnp.int32)) - 1
+                n_free = jnp.sum(free.astype(jnp.int32))
+                can_place = feats.valid & (new_rank < n_free)
+                dest = jnp.where(can_place,
+                                 slot_of_rank[jnp.clip(new_rank, 0, n - 1)],
+                                 -1)
+                dest_safe = jnp.where(dest >= 0, dest, 0)
+                place = dest >= 0
+                half = (tracks_.ref_patch.shape[-1] - 1) // 2
+                patches = lk.extract_patches(pyr0, feats.xy, half)
+                px2 = tracks_.px.at[dest_safe].set(
+                    jnp.where(place[:, None], feats.xy,
+                              tracks_.px[dest_safe]))
+                pat2 = tracks_.ref_patch.at[dest_safe].set(
+                    jnp.where(place[:, None, None], patches,
+                              tracks_.ref_patch[dest_safe]))
+                return px2, pat2, jnp.sum(place.astype(jnp.int32))
+
+            px2, pat2, n_sp = body(pyr[0], tracks)
+            jax.block_until_ready(px2)
+            log(f"rep{rep}: spawn_nodetect OK (placed={int(n_sp)})")
     log("REPLAY PASSED")
     return 0
 

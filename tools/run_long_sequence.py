@@ -83,6 +83,10 @@ def main(argv=None):
                     help="shard window BA over all local devices")
     ap.add_argument("--no-loop", action="store_true",
                     help="disable loop closure (debug/ablation)")
+    ap.add_argument("--no-sparse-align", action="store_true",
+                    help="disable SVO sparse image alignment (on by "
+                         "default here so the evidence run exercises every "
+                         "flagship stage)")
     ap.add_argument("--no-fused", action="store_true",
                     help="per-stage dispatches instead of the fused frontend "
                          "(with --sync, attributes a TPU fault to its stage)")
@@ -122,6 +126,7 @@ def main(argv=None):
         loop_min_gap_frames=60, loop_min_score=0.6,
         loop_min_inliers=20, loop_cooldown_kfs=4,
         fused_frontend=not args.no_fused,
+        use_sparse_align=not args.no_sparse_align,
     )
     mesh = None
     if args.distributed:
