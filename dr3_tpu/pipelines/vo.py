@@ -291,42 +291,54 @@ def _triangulate_new(tracks: TrackState, kfs: KeyframeState, T_cur: SE3,
 def _spawn_tracks(pyr_cur, tracks: TrackState, cfg: Config, kf_slot,
                   img_hw):
     """Detect new corners in cells not covered by live tracks and place them
-    into free track slots (grid occupancy parity, src/features.cpp:75-95)."""
+    into free track slots (grid occupancy parity, src/features.cpp:75-95).
+
+    Placement is SCATTER-FREE: slot/corner ranks pair up through two
+    argsort permutations and every table update is a gather + where-merge.
+    (The original formulation scattered with out-of-bounds pad indices and
+    mode="drop"; rewritten while isolating a TPU worker fault in this
+    program — gathers have no OOB-store path for a miscompile to hit.)
+    """
     occ = corners.make_occupancy(tracks.px, tracks.valid, img_hw, cfg.cell_size)
     feats = _detect(pyr_cur, cfg, occupancy=occ)
     n = tracks.px.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
 
     free = ~tracks.valid
-    # rank free slots and new corners; corner with rank r -> r-th free slot
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1           # [N]
-    scatter_idx = jnp.where(free, free_rank, n)  # occupied -> dropped
-    slot_of_rank = jnp.full((n,), -1, jnp.int32).at[scatter_idx].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-
+    # rank<->slot pairing by sort: free slots first (in index order), so
+    # slot_of_rank[r] = index of the r-th free slot; rank_of_slot inverts it
+    slot_of_rank = jnp.argsort(jnp.where(free, iota, n + iota)).astype(jnp.int32)
+    rank_of_slot = jnp.argsort(slot_of_rank).astype(jnp.int32)
+    # corner with rank r fills the r-th free slot; feat_of_rank inverts the
+    # corner ranking the same way
     new_rank = jnp.cumsum(feats.valid.astype(jnp.int32)) - 1
+    feat_of_rank = jnp.argsort(jnp.where(feats.valid, new_rank, n + iota)) \
+        .astype(jnp.int32)
     n_free = jnp.sum(free.astype(jnp.int32))
-    can_place = feats.valid & (new_rank < n_free)
-    dest = jnp.where(can_place, slot_of_rank[jnp.clip(new_rank, 0, n - 1)], -1)
-    dest_safe = jnp.where(dest >= 0, dest, 0)
-    place = dest >= 0
+    n_new = jnp.sum(feats.valid.astype(jnp.int32))
+    n_placed = jnp.minimum(n_free, n_new)
 
-    def put(arr, val):
-        return arr.at[dest_safe].set(
-            jnp.where(place.reshape(place.shape + (1,) * (arr.ndim - 1)),
-                      val, arr[dest_safe]))
+    # per-slot: which corner lands here (valid only where fill holds)
+    src = feat_of_rank[jnp.clip(rank_of_slot, 0, n - 1)]           # [N]
+    fill = free & (rank_of_slot < n_placed)
 
     patch_half = (tracks.ref_patch.shape[-1] - 1) // 2
     new_patches = lk.extract_patches(pyr_cur[0], feats.xy, patch_half)
+
+    def merge(old, incoming):
+        f = fill.reshape(fill.shape + (1,) * (old.ndim - 1))
+        return jnp.where(f, incoming[src], old)
+
     tr = tracks._replace(
-        px=put(tracks.px, feats.xy),
-        ref_px=put(tracks.ref_px, feats.xy),
-        ref_kf=put(tracks.ref_kf, jnp.full_like(tracks.ref_kf, kf_slot)),
-        point=put(tracks.point, jnp.full_like(tracks.point, -1)),
-        age=put(tracks.age, jnp.zeros_like(tracks.age)),
-        valid=tracks.valid | (jnp.zeros_like(tracks.valid).at[dest_safe].set(place)),
-        ref_patch=put(tracks.ref_patch, new_patches),
+        px=merge(tracks.px, feats.xy),
+        ref_px=merge(tracks.ref_px, feats.xy),
+        ref_kf=jnp.where(fill, kf_slot, tracks.ref_kf),
+        point=jnp.where(fill, -1, tracks.point),
+        age=jnp.where(fill, 0, tracks.age),
+        valid=tracks.valid | fill,
+        ref_patch=merge(tracks.ref_patch, new_patches),
     )
-    return tr, jnp.sum(place.astype(jnp.int32))
+    return tr, n_placed
 
 
 @jax.jit

@@ -34,7 +34,7 @@ def main(argv=None):
     ap.add_argument("--stage", default="spawn",
                     choices=["spawn", "triangulate", "fused", "patches",
                              "occupancy", "detect", "rank_scatter",
-                             "spawn_nodetect"])
+                             "spawn_nodetect", "bigxla", "detect_xla"])
     ap.add_argument("--warm", action="store_true",
                     help="run the VO front-end programs (pyramid+LK+pose GN) "
                          "before the replayed stage, mimicking in-run state")
@@ -191,6 +191,29 @@ def main(argv=None):
             px2, pat2, n_sp = body(pyr[0], tracks)
             jax.block_until_ready(px2)
             log(f"rep{rep}: spawn_nodetect OK (placed={int(n_sp)})")
+        elif args.stage == "bigxla":
+            # a generic LARGE dense XLA program at image scale (no pallas,
+            # no scatter/gather): discriminates "any big program after LK
+            # crashes" from "spawn-specific construct crashes"
+            @jax.jit
+            def big(img):
+                x = img * 255.0
+                acc = jnp.zeros_like(x)
+                for k in range(16):
+                    sh = jnp.roll(x, k + 1, axis=1) - jnp.roll(x, -(k + 1), 0)
+                    acc = acc + jnp.tanh(sh * 0.1) * jnp.exp(-0.01 * jnp.abs(sh))
+                up = jnp.repeat(jnp.repeat(acc[::2, ::2], 2, 0), 2, 1)
+                return jnp.sum(acc) + jnp.sum(up)
+
+            out = big(pyr[0])
+            jax.block_until_ready(out)
+            log(f"rep{rep}: bigxla OK ({float(out):.1f})")
+        elif args.stage == "detect_xla":
+            # detect_features through the jnp oracle (DR3_DETECT_BACKEND=xla
+            # must be set by the caller for this to differ from 'detect')
+            feats = vo._detect(pyr, cfg)
+            jax.block_until_ready(feats.xy)
+            log(f"rep{rep}: detect(backend=env) OK (n={int(feats.n)})")
     log("REPLAY PASSED")
     return 0
 
