@@ -122,3 +122,73 @@ def test_make_occupancy():
     assert occ.shape == (12,)
     assert occ[0] and occ[1]       # first two cells of row 0
     assert occ.sum() == 2          # invalid feature does not flag
+
+
+def test_spawn_placement_matches_loop_oracle(rng):
+    """The scatter-free argsort placement in _spawn_tracks must equal the
+    obvious sequential rule: the r-th detected corner (in raster order of
+    valid detections) fills the r-th free track slot (in index order).
+    Pinned against a python-loop oracle so future rewrites cannot silently
+    change placement semantics (the formulation was rewritten scatter-free
+    to fix a TPU worker fault)."""
+    import jax.numpy as jnp
+
+    from dr3_tpu.pipelines.vo import _spawn_tracks
+    from dr3_tpu.state import TrackState
+    from dr3_tpu.utils.config import Config
+
+    cfg = Config(cell_size=30, fast_threshold=8.0, min_corner_score=5.0)
+    h, w = 120, 180
+    # textured random scene (noise breaks the NMS plateau ties a clean
+    # geometric pattern would produce)
+    from scipy import ndimage
+
+    base = ndimage.gaussian_filter(rng.uniform(0, 1, (h, w)), 2.0)
+    img = (0.7 * (base > np.median(base)) + 0.3 *
+           rng.uniform(0, 1, (h, w))).astype(np.float32)
+    pyr = [jnp.asarray(img)]
+
+    n_cols = -(-w // cfg.cell_size)
+    n_rows = -(-h // cfg.cell_size)
+    n = n_cols * n_rows
+    tracks = TrackState.empty(n, cfg.feature_align_patch)
+    # occupy an arbitrary subset of slots with live tracks placed in their
+    # own cells (so occupancy blocks those cells)
+    occupied = rng.permutation(n)[: n // 3]
+    px = np.zeros((n, 2), np.float32)
+    valid = np.zeros(n, bool)
+    for s in occupied:
+        r, c = divmod(int(s), n_cols)
+        px[s] = [c * cfg.cell_size + 5.0, r * cfg.cell_size + 5.0]
+        valid[s] = True
+    tracks = tracks._replace(px=jnp.asarray(px), valid=jnp.asarray(valid))
+
+    tr, n_sp = _spawn_tracks(pyr, tracks, cfg, jnp.asarray(3, jnp.int32),
+                             (h, w))
+
+    # oracle: recompute detection identically, then place sequentially
+    from dr3_tpu.ops.corners import detect_features, make_occupancy
+
+    occ = make_occupancy(jnp.asarray(px), jnp.asarray(valid), (h, w),
+                         cfg.cell_size)
+    feats = detect_features(pyr, cfg.cell_size, cfg.min_corner_score,
+                            cfg.fast_threshold, occupancy=occ)
+    fxy = np.asarray(feats.xy)
+    fvalid = np.asarray(feats.valid)
+    free_slots = [i for i in range(n) if not valid[i]]
+    want_px = px.copy()
+    want_valid = valid.copy()
+    placed = 0
+    for i in range(n):
+        if fvalid[i] and placed < len(free_slots):
+            s = free_slots[placed]
+            want_px[s] = fxy[i]
+            want_valid[s] = True
+            placed += 1
+    assert int(n_sp) == placed and placed > 3
+    np.testing.assert_array_equal(np.asarray(tr.valid), want_valid)
+    np.testing.assert_allclose(np.asarray(tr.px), want_px, atol=1e-5)
+    # spawned slots carry the keyframe slot and no map point
+    new_mask = want_valid & ~valid
+    assert np.all(np.asarray(tr.ref_kf)[new_mask] == 3)
+    assert np.all(np.asarray(tr.point)[new_mask] == -1)
