@@ -65,15 +65,18 @@ def _detect(pyr, cfg: Config, occupancy=None):
                                    occupancy=occupancy)
 
 
+def _traj_mats_pair(Tc: SE3, Ta: SE3):
+    """[2, 4, 4]: global (T_cur @ T_anchor) and local T_cur matrices."""
+    return jnp.stack([(Tc @ Ta).matrix(), Tc.matrix()])
+
+
 @jax.jit
 def _traj_mats(wxyz_c, t_c, wxyz_a, t_a):
-    """[2, 4, 4]: global (T_cur @ T_anchor) and local T_cur matrices in ONE
-    device program — the un-jitted SE3 chain this replaces was ~30 primitive
-    dispatches per frame, each a remote-relay round trip on the axon
-    platform."""
-    Tc = SE3(wxyz_c, t_c)
-    Tg = (Tc @ SE3(wxyz_a, t_a)).matrix()
-    return jnp.stack([Tg, Tc.matrix()])
+    """Standalone-dispatch form of :func:`_traj_mats_pair` — one device
+    program instead of the ~30 primitive dispatches of an un-jitted SE3
+    chain (each a remote-relay round trip on the axon platform). The fused
+    general step packs the same matrices into its stats output instead."""
+    return _traj_mats_pair(SE3(wxyz_c, t_c), SE3(wxyz_a, t_a))
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
@@ -140,7 +143,8 @@ def _pose_optimize(tracks: TrackState, map_xyz, map_valid, T_guess: SE3,
 
 @functools.partial(jax.jit, static_argnums=(7,))
 def _general_step(img, pyr_prev, tracks: TrackState, map_xyz, map_valid,
-                  T_cur: SE3, cam: Pinhole, cfg: Config, last_kf_slot):
+                  T_cur: SE3, cam: Pinhole, cfg: Config, last_kf_slot,
+                  anchor_wxyz=None, anchor_t=None):
     """The WHOLE general-frame hot path as one XLA program: pyramid build,
     optional sparse image alignment, pyramidal LK (+ template alignment),
     motion-only pose GN, reprojection gating, and the keyframe-decision
@@ -180,6 +184,13 @@ def _general_step(img, pyr_prev, tracks: TrackState, map_xyz, map_valid,
     n_tracked = jnp.sum(tracks.valid.astype(jnp.int32))
     stats = jnp.stack([n_inl.astype(jnp.float32), med,
                        n_tracked.astype(jnp.float32)])
+    if anchor_wxyz is not None:
+        # pack the trajectory matrices into the SAME fetched array: the
+        # host reads one [3 + 32] vector per frame instead of paying a
+        # second relay round-trip for _traj_mats (non-keyframe frames use
+        # these directly; keyframe frames recompute after local BA)
+        mats = _traj_mats_pair(T_out, SE3(anchor_wxyz, anchor_t))
+        stats = jnp.concatenate([stats, mats.reshape(32)])
     return pyr_cur, tracks, T_out, stats
 
 
@@ -527,8 +538,19 @@ class MonoVO:
         self.monitor.tic("global")
         if (cfg.fused_frontend and self.stage is Stage.GENERAL
                 and self.pyr_prev is not None):
-            # hot path: the whole frame step is one device program
-            pyr = self._process_general_fused(jnp.asarray(img))
+            # hot path: the whole frame step is one device program; it
+            # returns pre-packed trajectory matrices for non-keyframe
+            # frames (None -> recompute below)
+            pyr, mats = self._process_general_fused(jnp.asarray(img))
+            self.pyr_prev = pyr
+            self.monitor.toc("global")
+            if mats is None:
+                mats = np.asarray(_traj_mats(self.T_cur.wxyz, self.T_cur.t,
+                                             self.T_anchor.wxyz,
+                                             self.T_anchor.t))
+            self.trajectory.append(mats[0])
+            self._traj_local.append(mats[1])
+            return mats[0]
         else:
             self.monitor.tic("pyramid")
             pyr = pyramid.build_pyramid(jnp.asarray(img),
@@ -634,21 +656,25 @@ class MonoVO:
         self._log_stats("second", n_tracked, int(result.n_good), True)
 
     def _process_general_fused(self, img):
-        """One-dispatch general frame (Config.fused_frontend): returns the
-        new pyramid for pyr_prev chaining. Host logic (lost-tracking
-        counter, keyframe decision, keyframe stages) is identical to
-        _process_general — only the dispatch granularity differs."""
+        """One-dispatch general frame (Config.fused_frontend): returns
+        (pyramid, mats-or-None) — mats [2, 4, 4] are the packed trajectory
+        matrices, valid only when this frame's pose was NOT changed after
+        the step (i.e. non-keyframe, non-relocalize frames). Host logic
+        (lost-tracking counter, keyframe decision, keyframe stages) is
+        identical to _process_general — only dispatch granularity differs."""
         cfg = self.cfg
         self.monitor.tic("frame_step")
-        pyr, tracks, T_new, stats = _general_step(
+        pyr, tracks, T_new, packed = _general_step(
             img, self.pyr_prev, self.tracks, self.map.xyz, self.map.valid,
             self.T_cur, self.cam, cfg,
-            jnp.asarray(self.kf_count - 1, jnp.int32))
-        stats = np.asarray(stats)  # ONE device->host fetch (syncs the step)
+            jnp.asarray(self.kf_count - 1, jnp.int32),
+            self.T_anchor.wxyz, self.T_anchor.t)
+        packed = np.asarray(packed)  # ONE device->host fetch (syncs the step)
         self.monitor.toc("frame_step")
-        n_inliers = int(stats[0])
-        med_disp = float(stats[1])
-        n_tracked = int(stats[2])
+        n_inliers = int(packed[0])
+        med_disp = float(packed[1])
+        n_tracked = int(packed[2])
+        mats = packed[3:].reshape(2, 4, 4)
         self.tracks = tracks
         if n_inliers >= 10:
             self.T_cur = T_new  # _general_step already gated the update
@@ -658,13 +684,15 @@ class MonoVO:
             if self.lost_count >= 3:
                 self._relocalize()
                 self._log_stats("relocalize", 0, 0, False)
-                return pyr
+                return pyr, None
+            # pose kept = T_cur unchanged; packed mats reflect the gated
+            # T_out which equals T_cur here, so they stay valid
 
         is_kf = self._keyframe_needed(n_inliers, med_disp)
         if is_kf:
             self._make_keyframe(pyr)
         self._log_stats("general", n_tracked, n_inliers, is_kf)
-        return pyr
+        return pyr, None if is_kf else mats
 
     def _process_general(self, pyr):
         cfg = self.cfg
