@@ -1057,8 +1057,12 @@ class MonoVO:
                 self.trajectory[f] = Tl @ anchor
 
     def _log_stats(self, stage, n_tracked, n_inliers, is_kf):
+        # point_cursor is the host-side allocation count — using it instead
+        # of int(self.map.n) avoids a per-frame device sum+fetch (a full
+        # relay round-trip on the axon platform); exact live counts remain
+        # available via map.n where they matter (report(), tests)
         self.stats.append(FrameStats(self.frame_idx, stage, n_tracked,
-                                     n_inliers, is_kf, int(self.map.n)))
+                                     n_inliers, is_kf, self.point_cursor))
 
     # -- reporting (SLAM::pprint parity, src/slam.cpp:49-84) --------------
     def report(self) -> str:
