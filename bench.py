@@ -146,12 +146,15 @@ def _bench_window_ba(jax, jnp, rng):
     prob = _window_problem(jnp, rng)
     iters = 10
     res = bundle_adjust(prob, iters)  # warmup/compile
-    jax.block_until_ready(res.final_cost)
+    float(res.final_cost)
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         res = bundle_adjust(prob, iters)
-    jax.block_until_ready(res.final_cost)
+        # explicit value fetch: block_until_ready on the axon relay has
+        # returned before execution finished (BENCH_r03 investigation),
+        # inflating iters/sec by ~1e5; a host read cannot lie
+        float(res.final_cost)
     dt = time.perf_counter() - t0
     return reps * iters / dt
 
@@ -178,12 +181,12 @@ def _bench_bal_ba(jax, jnp, rng):
                                   oc, op, uv))
     iters = 5
     res = bundle_adjust_snavely(prob, iters, huber_delta=1e9)  # warmup
-    jax.block_until_ready(res.final_cost)
+    float(res.final_cost)
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         res = bundle_adjust_snavely(prob, iters, huber_delta=1e9)
-    jax.block_until_ready(res.final_cost)
+        float(res.final_cost)  # see _bench_window_ba: a host read cannot lie
     dt = time.perf_counter() - t0
     return reps * iters / dt
 
@@ -205,7 +208,7 @@ def _bench_pipeline(jax, jnp):
         return None
     palindrome = base + base[-2:0:-1]
 
-    n_total = int(os.environ.get("BENCH_PIPELINE_FRAMES", "60"))
+    n_total = int(os.environ.get("BENCH_PIPELINE_FRAMES", "90"))
     frames = [palindrome[i % len(palindrome)] for i in range(n_total)]
 
     # every flagship stage ON (round-2 verdict: the measured path skipped
@@ -216,14 +219,16 @@ def _bench_pipeline(jax, jnp):
                  loop_min_inliers=15, loop_cooldown_kfs=2)
     vo = MonoVO(Pinhole.kitti(), cfg)
     # warmup must cover EVERY stage program (general step, keyframe step,
-    # local BA, loop stack) or their first remote compiles (30-120 s each
-    # through the tunnel) land inside the timed window and swamp the
-    # steady-state number: warm until several keyframes have fired
+    # local BA, loop query/verify/PGO) or their first remote compiles
+    # (30-120 s each through the tunnel) land inside the timed window and
+    # swamp the steady-state number: warm until keyframes AND a loop
+    # closure have fired (the palindrome guarantees revisits), capped at
+    # 2/3 of the frames
     warm = 0
-    for f in frames[: n_total // 2]:
+    for f in frames[: 2 * n_total // 3]:
         vo.process(f)
         warm += 1
-        if vo.kf_count >= 5 and warm >= 12:
+        if vo.kf_count >= 5 and vo.n_loop_closures >= 1 and warm >= 12:
             break
     t0 = time.perf_counter()
     for f in frames[warm:]:

@@ -160,6 +160,37 @@ def _pad_obs(x):
     return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
 
 
+# dense-W assembly is used when the [P, K, C, 3] scratch fits under this
+# many float32 elements (64M = 256 MB x2 operands). Window problems
+# (K<=64, P<=64k) fit easily; BAL-scale problems fall back to the
+# pair-table loop / PCG.
+_DENSE_W_MAX_ELEMS = 64 * 1024 * 1024
+
+
+def _explicit_s_corr_dense(WHinv, AtB, obs_cam, obs_pt, active,
+                           n_cams: int, n_points: int):
+    """W Hpp^-1 W^T as ONE MXU contraction.
+
+    Scatter-adds the per-observation blocks into dense per-point
+    [P, K, C, 3] tables and contracts over (point, 3) in a single matmul
+    — O(P*K^2*C^2*3) MXU flops instead of the d_max-deep fori_loop of
+    [P, d_max, C, C] segment-sums (which moves d_max/avg_depth times more
+    HBM traffic than useful work when most points have few observations,
+    ~50x for the 32-keyframe VO window).
+    """
+    C = AtB.shape[-2]
+    w = active.astype(WHinv.dtype)
+    U = jnp.zeros((n_points, n_cams, C, 3), WHinv.dtype)
+    U = U.at[obs_pt, obs_cam].add(WHinv * w[:, None, None])
+    V = jnp.zeros((n_points, n_cams, C, 3), AtB.dtype)
+    V = V.at[obs_pt, obs_cam].add(AtB * w[:, None, None])
+    U2 = U.transpose(1, 2, 0, 3).reshape(n_cams * C, n_points * 3)
+    V2 = V.transpose(1, 2, 0, 3).reshape(n_cams * C, n_points * 3)
+    S = jax.lax.dot_general(U2, V2, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return S.reshape(n_cams, C, n_cams, C)
+
+
 def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
                 method: str = "explicit", d_max: int | None = None,
                 jacobi: bool = True, cg_iters: int = 100,
@@ -187,13 +218,19 @@ def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
         keep_v = jnp.concatenate([keep_v, jnp.ones((G,), keep.dtype)])
 
     if method == "explicit":
-        if d_max is None:
-            d_max = K
-        tbl = group_by_point(blocks.obs_pt, blocks.active, P, d_max)
-        S_corr = _explicit_s_corr(_pad_obs(WHinv), _pad_obs(blocks.AtB),
-                                  jnp.concatenate([blocks.obs_cam,
-                                                   jnp.zeros((1,), jnp.int32)]),
-                                  tbl, K)
+        if P * K * C * 3 <= _DENSE_W_MAX_ELEMS:
+            S_corr = _explicit_s_corr_dense(WHinv, blocks.AtB,
+                                            blocks.obs_cam, blocks.obs_pt,
+                                            blocks.active, K, P)
+        else:
+            if d_max is None:
+                d_max = K
+            tbl = group_by_point(blocks.obs_pt, blocks.active, P, d_max)
+            S_corr = _explicit_s_corr(
+                _pad_obs(WHinv), _pad_obs(blocks.AtB),
+                jnp.concatenate([blocks.obs_cam,
+                                 jnp.zeros((1,), jnp.int32)]),
+                tbl, K)
         S = -S_corr
         S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
         S = S.reshape(K * C, K * C)

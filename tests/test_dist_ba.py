@@ -30,7 +30,7 @@ def test_dist_matches_single_device(rng, n_dev):
     np.testing.assert_allclose(float(dist.initial_cost),
                                float(single.initial_cost), rtol=1e-4)
     np.testing.assert_allclose(float(dist.final_cost),
-                               float(single.final_cost), rtol=0.05)
+                               float(single.final_cost), rtol=0.05, atol=1e-6)
     # and the solutions agree
     np.testing.assert_allclose(np.asarray(dist.problem.cam_t),
                                np.asarray(single.problem.cam_t), atol=1e-2)
@@ -43,7 +43,7 @@ def test_dist_with_distortion_matches_single_device(rng):
     single = bundle_adjust(prob, 10)
     dist = dist_bundle_adjust(prob, n_devices=4, max_iters=10)
     np.testing.assert_allclose(float(dist.final_cost),
-                               float(single.final_cost), rtol=0.05)
+                               float(single.final_cost), rtol=0.05, atol=1e-6)
     assert float(dist.final_cost) < float(dist.initial_cost) * 1e-3
     err_t = np.abs(np.asarray(dist.problem.cam_t)
                    - np.asarray(cams_true.t)).max()
@@ -117,7 +117,7 @@ def test_dist_2d_mesh_matches_single_device(rng):
     np.testing.assert_allclose(float(dist.initial_cost),
                                float(single.initial_cost), rtol=1e-4)
     np.testing.assert_allclose(float(dist.final_cost),
-                               float(single.final_cost), rtol=0.05)
+                               float(single.final_cost), rtol=0.05, atol=1e-6)
     np.testing.assert_allclose(np.asarray(dist.problem.cam_t),
                                np.asarray(single.problem.cam_t), atol=1e-2)
 
