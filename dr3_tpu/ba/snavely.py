@@ -130,6 +130,32 @@ def residuals_only(p: SnavelyProblem) -> jnp.ndarray:
     return project_snavely(p.cam_fkk[p.obs_cam], xc) - p.obs_uv
 
 
+def residual_cost(p: SnavelyProblem, huber_delta: float = 2.0) -> jnp.ndarray:
+    """Robust cost WITHOUT Jacobians — the LM accept test only needs the
+    cost, and the Jacobian terms are ~60% of linearize's work at BAL
+    scale. Validity here is residual-finiteness only (linearize's extra
+    Jacobian-finiteness mask re-applies on the next linearization)."""
+    quat = p.cam_wxyz[p.obs_cam]
+    t = p.cam_t[p.obs_cam]
+    fkk = p.cam_fkk[p.obs_cam]
+    X = p.points[p.obs_pt]
+    xc = quat_rotate(quat, X) + t
+    f, k1, k2 = fkk[..., 0], fkk[..., 1], fkk[..., 2]
+    z = xc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    q2d = -xc[..., :2] / z_safe[..., None]
+    r2 = jnp.sum(q2d * q2d, axis=-1)
+    dist = 1.0 + k1 * r2 + k2 * r2 * r2
+    r = f[..., None] * dist[..., None] * q2d - p.obs_uv
+    valid = jnp.all(jnp.isfinite(r), axis=-1) & (jnp.abs(z) > 1e-9) \
+        & (p.obs_w > 0)
+    r = jnp.where(valid[..., None], r, 0.0)
+    r_norm = jnp.linalg.norm(r, axis=-1)
+    rho = jnp.where(r_norm <= huber_delta, 0.5 * r_norm**2,
+                    huber_delta * (r_norm - 0.5 * huber_delta))
+    return jnp.sum(p.obs_w * valid.astype(r.dtype) * rho)
+
+
 def linearize(p: SnavelyProblem, huber_delta: float = 2.0) -> SnavelyResiduals:
     """Residuals + analytic Jacobians per observation (9-dim camera blocks)."""
     quat = p.cam_wxyz[p.obs_cam]
@@ -225,7 +251,7 @@ def bundle_adjust_snavely(problem: SnavelyProblem, max_iters: int = 30,
         method = "explicit" if problem.n_cams <= _EXPLICIT_MAX_CAMS else "pcg"
     if d_max is None:
         d_max = min(problem.n_cams, problem.n_obs)
-    cost0 = linearize(problem, huber_delta).cost
+    cost0 = residual_cost(problem, huber_delta)
 
     def body(_, state):
         p, lam, best_cost, n_acc = state
@@ -240,7 +266,7 @@ def bundle_adjust_snavely(problem: SnavelyProblem, max_iters: int = 30,
                                  d_max=d_max, cg_iters=cg_iters,
                                  cg_tol=1e-2, q_eta=0.1)
         p_new = apply_update(p, dc, dpt)
-        new_cost = linearize(p_new, huber_delta).cost
+        new_cost = residual_cost(p_new, huber_delta)
         # finite params required: a nan candidate masks its own
         # observations, making its cost spuriously small (ba/schur_lm.py)
         finite = (jnp.all(jnp.isfinite(p_new.cam_wxyz))

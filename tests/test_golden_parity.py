@@ -75,6 +75,32 @@ def test_golden_stitch_yosemite_pair(pair, golden):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("pair,golden,min_ncc", [
+    (("drone/00.png", "drone/01.png"), "drone01.jpg", 0.88),
+    (("drone/00.png", "drone/04.png"), "drone04.jpg", 0.88),
+    (("drone/00.png", "drone/05.png"), "drone05.jpg", 0.88),
+    # forward-motion KITTI: homography stitching is ill-posed (parallax),
+    # the reference's own result is smeary -> looser gate (calibrated 0.61)
+    (("KITTI/000000.png", "KITTI/000001.png"), "KITTI01.jpg", 0.5),
+])
+def test_golden_stitch_other_sets(pair, golden, min_ncc):
+    """Stitch::process on the reference's drone/KITTI fixture pairs vs the
+    checked-in imgs/results/stitch outputs (drone pairs reach NCC 0.93
+    with canvas dims within 1 px)."""
+    from dr3_tpu.io.image import load_image
+    from dr3_tpu.pipelines.stitch import Stitch
+    from dr3_tpu.utils.config import Config
+
+    a = load_image(f"{R}/{pair[0]}")
+    b = load_image(f"{R}/{pair[1]}")
+    out, _ = Stitch(Config()).process(a, b)
+    out = np.asarray(out)
+    gold = _load(f"{R}/results/stitch/{golden}")
+    _dims_close(out, gold, 0.08)
+    assert ncc_vs_golden(out, gold) > min_ncc
+
+
+@pytest.mark.slow
 def test_golden_panorama_yosemite_normal():
     """4-image projective panorama vs imgs/results/panorama/
     yosemite_normal.jpg. The projective chain amplifies per-pair
