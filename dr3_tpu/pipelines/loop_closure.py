@@ -181,6 +181,23 @@ def db_compact(db: LoopDatabase, keep: jnp.ndarray):
     ), old_to_new.astype(jnp.int32), n_keep
 
 
+@functools.partial(jax.jit, static_argnums=(6,))
+def insert_and_query(db: LoopDatabase, slot, pyr_coarse, img0,
+                     tracks: TrackState, map_state: MapState, cfg: Config,
+                     wxyz, t, frame_id):
+    """Entry build + database append + place-recognition query as ONE
+    device program (separately they are 3 dispatches + a fetch per
+    keyframe — ~30 ms of relay round-trips on the remote-TPU host).
+    Returns (new_db, entry, packed [cand_as_float, score]); the temporal
+    gap mask makes a self-match impossible, so insert-then-query is safe
+    (same argument as the unfused path)."""
+    entry = make_entry(pyr_coarse, img0, tracks, map_state, cfg)
+    db2 = db_add(db, slot, entry, wxyz, t, frame_id)
+    cand, score = db_query(db2, entry.thumb, frame_id,
+                           cfg.loop_min_gap_frames, cfg.loop_min_score)
+    return db2, entry, jnp.stack([cand.astype(jnp.float32), score])
+
+
 @jax.jit
 def db_query(db: LoopDatabase, thumb: jnp.ndarray, frame_id, min_gap,
              min_score):

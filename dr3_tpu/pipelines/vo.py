@@ -199,7 +199,11 @@ def _keyframe_step(pyr, tracks: TrackState, kfs: KeyframeState, T_cur: SE3,
                    map_state: MapState, point_cursor, cam: Pinhole,
                    cfg: Config, kf_slot, img_hw):
     """Fused keyframe work: triangulate new landmarks, detect + spawn fresh
-    tracks, refresh surviving templates — one dispatch instead of three."""
+    tracks, refresh surviving templates — one dispatch instead of three.
+
+    Returns (tracks, map, stats[4] int32) with stats =
+    (new point cursor, n_triangulated, n_spawned, n_tracks_with_point) —
+    packed so the host pays ONE fetch for every counter it needs."""
     tracks, map_state, cursor, n_new = _triangulate_new(
         tracks, kfs, T_cur, map_state, point_cursor, cam, cfg)
     tracks, n_spawned = _spawn_tracks(pyr, tracks, cfg, kf_slot, img_hw)
@@ -216,7 +220,11 @@ def _keyframe_step(pyr, tracks: TrackState, kfs: KeyframeState, T_cur: SE3,
         tracks = tracks._replace(
             ref_patch=jnp.where(tracks.valid[:, None, None], fresh,
                                 tracks.ref_patch))
-    return tracks, map_state, cursor, n_new, n_spawned
+    n_with_pt = jnp.sum((tracks.valid & (tracks.point >= 0))
+                        .astype(jnp.int32))
+    stats = jnp.stack([cursor.astype(jnp.int32), n_new.astype(jnp.int32),
+                       n_spawned.astype(jnp.int32), n_with_pt])
+    return tracks, map_state, stats
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
@@ -350,6 +358,21 @@ def _spawn_tracks(pyr_cur, tracks: TrackState, cfg: Config, kf_slot,
         ref_patch=merge(tracks.ref_patch, new_patches),
     )
     return tr, n_placed
+
+
+@jax.jit
+def _snapshot_kf_step(kfs: KeyframeState, tracks: TrackState, T_cur: SE3,
+                      slot, frame_id) -> KeyframeState:
+    """Write pose + track-table snapshot into keyframe slot ``slot``."""
+    obs_pt = jnp.where(tracks.valid, tracks.point, -1)
+    return kfs._replace(
+        wxyz=kfs.wxyz.at[slot].set(T_cur.wxyz),
+        t=kfs.t.at[slot].set(T_cur.t),
+        frame_id=kfs.frame_id.at[slot].set(frame_id),
+        valid=kfs.valid.at[slot].set(True),
+        obs_px=kfs.obs_px.at[slot].set(tracks.px),
+        obs_point=kfs.obs_point.at[slot].set(obs_pt),
+    )
 
 
 @jax.jit
@@ -501,17 +524,12 @@ class MonoVO:
         return jnp.stack([self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy])
 
     def _snapshot_kf(self, slot: int, frame_id: int):
-        """Write pose + track-table snapshot into a keyframe slot."""
-        k = self.kfs
-        obs_pt = jnp.where(self.tracks.valid, self.tracks.point, -1)
-        self.kfs = k._replace(
-            wxyz=k.wxyz.at[slot].set(self.T_cur.wxyz),
-            t=k.t.at[slot].set(self.T_cur.t),
-            frame_id=k.frame_id.at[slot].set(frame_id),
-            valid=k.valid.at[slot].set(True),
-            obs_px=k.obs_px.at[slot].set(self.tracks.px),
-            obs_point=k.obs_point.at[slot].set(obs_pt),
-        )
+        """Write pose + track-table snapshot into a keyframe slot (one
+        jitted program — the un-jitted ._replace of 6 fields was 6 separate
+        relay dispatches per keyframe)."""
+        self.kfs = _snapshot_kf_step(self.kfs, self.tracks, self.T_cur,
+                                     jnp.asarray(slot, jnp.int32),
+                                     jnp.asarray(frame_id, jnp.int32))
 
     def _evict_oldest_if_full(self):
         if self.kf_count < self.cfg.max_keyframes:
@@ -814,12 +832,14 @@ class MonoVO:
         if cfg.fused_frontend:
             # triangulate + detect/spawn + template refresh in one dispatch
             self.monitor.tic("kf_step")
-            self.tracks, self.map, cursor, n_new, n_spawned = _keyframe_step(
+            self.tracks, self.map, kf_stats = _keyframe_step(
                 pyr, self.tracks, self.kfs, self.T_cur, self.map,
                 jnp.asarray(self.point_cursor, jnp.int32), self.cam, cfg,
                 jnp.asarray(slot, jnp.int32),
                 (self.cam.height, self.cam.width))
-            self.point_cursor = int(cursor)
+            kf_stats = np.asarray(kf_stats)  # one fetch: cursor + counters
+            self.point_cursor = int(kf_stats[0])
+            self.last_kf_tracked = int(kf_stats[3])
             self.monitor.toc("kf_step")
         else:
             self.monitor.tic("triangulate")
@@ -853,8 +873,11 @@ class MonoVO:
 
         self._snapshot_kf(slot, self.frame_idx)
         self.kf_count += 1
-        self.last_kf_tracked = int(jnp.sum(
-            (self.tracks.valid & (self.tracks.point >= 0)).astype(jnp.int32)))
+        if not cfg.fused_frontend:
+            # fused path already read this from the packed kf_step stats
+            self.last_kf_tracked = int(jnp.sum(
+                (self.tracks.valid & (self.tracks.point >= 0))
+                .astype(jnp.int32)))
 
         if cfg.loop_closure and self.loop_db is not None:
             self.monitor.tic("loop_closure")
@@ -875,35 +898,42 @@ class MonoVO:
         self.T_cur = SE3(self.kfs.wxyz[slot], self.kfs.t[slot])
 
     # -- loop closure (pipelines/loop_closure.py) --------------------------
+    def _maybe_compact_db(self):
+        """Capacity policy: when the append cursor hits capacity, halve
+        temporal density (keep every other old keyframe + the newest 8)
+        and keep appending — closures still fire on sequences far longer
+        than loop_db_capacity."""
+        from dr3_tpu.pipelines import loop_closure as lc
+        cfg = self.cfg
+        if self.db_cursor < cfg.loop_db_capacity:
+            return
+        cap = cfg.loop_db_capacity
+        keep = np.zeros(cap, bool)
+        keep[::2] = True
+        # always keep the newest few, but never so many that the
+        # compaction stops freeing slots
+        tail = max(1, min(8, cap // 4))
+        keep[cap - tail:] = True
+        new_db, old2new, n_keep = lc.db_compact(self.loop_db,
+                                                jnp.asarray(keep))
+        self.loop_db = new_db
+        o2n = np.array(old2new)
+        # remap accepted loop edges; edges touching an evicted keyframe
+        # are dropped (their correction already lives in the poses)
+        self.loop_edges = [
+            (int(o2n[i]), int(o2n[j]), q, t)
+            for (i, j, q, t) in self.loop_edges
+            if o2n[i] >= 0 and o2n[j] >= 0]
+        self.db_cursor = int(n_keep)
+
     def _loop_db_insert(self, pyr):
         """Append the just-made keyframe to the loop/global-BA database.
-        Returns (slot, entry), or (None, None) when loop closure is off.
-        When the database is full it halves temporal density (keep every
-        other old keyframe + the newest 8) and keeps appending, so closures
-        still fire on sequences far longer than loop_db_capacity."""
+        Returns (slot, entry), or (None, None) when loop closure is off."""
         from dr3_tpu.pipelines import loop_closure as lc
         cfg = self.cfg
         if self.loop_db is None:
             return None, None
-        if self.db_cursor >= cfg.loop_db_capacity:
-            cap = cfg.loop_db_capacity
-            keep = np.zeros(cap, bool)
-            keep[::2] = True
-            # always keep the newest few, but never so many that the
-            # compaction stops freeing slots
-            tail = max(1, min(8, cap // 4))
-            keep[cap - tail:] = True
-            new_db, old2new, n_keep = lc.db_compact(self.loop_db,
-                                                    jnp.asarray(keep))
-            self.loop_db = new_db
-            o2n = np.array(old2new)
-            # remap accepted loop edges; edges touching an evicted keyframe
-            # are dropped (their correction already lives in the poses)
-            self.loop_edges = [
-                (int(o2n[i]), int(o2n[j]), q, t)
-                for (i, j, q, t) in self.loop_edges
-                if o2n[i] >= 0 and o2n[j] >= 0]
-            self.db_cursor = int(n_keep)
+        self._maybe_compact_db()
         entry = lc.make_entry(pyr[-1], pyr[0], self.tracks, self.map, cfg)
         slot = self.db_cursor
         self.loop_db = lc.db_add(
@@ -916,23 +946,29 @@ class MonoVO:
     def _loop_step(self, pyr, kf_slot):
         """At every new keyframe: add it to the loop database, query for a
         revisit, geometrically verify, and on success correct the whole
-        trajectory through the keyframe pose graph. (The temporal-gap mask
-        makes a self-match impossible, so insert-then-query is safe.)"""
+        trajectory through the keyframe pose graph. Entry build + append +
+        query run as ONE device program with one packed fetch."""
         from dr3_tpu.pipelines import loop_closure as lc
         cfg = self.cfg
-        my_slot, entry = self._loop_db_insert(pyr)
-        if my_slot is None:
+        if self.loop_db is None:
             return
-        cand, _score = lc.db_query(
-            self.loop_db, entry.thumb, jnp.asarray(self.frame_idx, jnp.int32),
-            cfg.loop_min_gap_frames, cfg.loop_min_score)
-        if int(cand) < 0 or \
+        self._maybe_compact_db()
+        my_slot = self.db_cursor
+        self.loop_db, entry, cs = lc.insert_and_query(
+            self.loop_db, jnp.asarray(my_slot, jnp.int32), pyr[-1], pyr[0],
+            self.tracks, self.map, cfg, self.T_cur.wxyz, self.T_cur.t,
+            jnp.asarray(self.frame_idx, jnp.int32))
+        self.db_cursor += 1
+        cs = np.asarray(cs)
+        cand = int(cs[0])
+        if cand < 0 or \
                 self.kf_count - self.last_loop_kf < cfg.loop_cooldown_kfs or \
                 len(self.loop_edges) >= cfg.loop_max_edges:
             return
-        ver = lc.verify_loop(self.loop_db, cand, entry, self.cam, cfg)
+        ver = lc.verify_loop(self.loop_db, jnp.asarray(cand, jnp.int32),
+                             entry, self.cam, cfg)
         if bool(ver.ok):
-            self._close_loop(my_slot, int(cand), ver)
+            self._close_loop(my_slot, cand, ver)
 
     def _close_loop(self, my_slot: int, cand: int, ver):
         from dr3_tpu.pipelines import loop_closure as lc

@@ -112,8 +112,9 @@ def main(argv=None):
                                     jnp.asarray(cursor, jnp.int32), cam, cfg,
                                     jnp.asarray(slot, jnp.int32), (h, w))
             jax.block_until_ready(out[0].px)
-            log(f"rep{rep}: _keyframe_step OK (new={int(out[3])}, "
-                f"spawned={int(out[4])})")
+            st = np.asarray(out[2])
+            log(f"rep{rep}: _keyframe_step OK (new={int(st[1])}, "
+                f"spawned={int(st[2])})")
         elif args.stage == "patches":
             half = (tracks.ref_patch.shape[-1] - 1) // 2
             fresh = lk.extract_patches(pyr[0], tracks.px, half)
