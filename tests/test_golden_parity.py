@@ -115,6 +115,24 @@ def test_golden_panorama_yosemite_normal():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("focal,min_ncc,dim_tol", [(1900, 0.90, 0.05),
+                                                   (1700, 0.80, 0.12)])
+def test_golden_panorama_field_spherical(focal, min_ncc, dim_tol):
+    """8-image field spherical panoramas at the reference's published
+    focal lengths vs imgs/results/panorama/field_focal_length_*.jpg
+    (calibrated: f=1900 reaches NCC 0.94 with dims within 1%; the f=1700
+    golden has a ~10% narrower canvas, so its gate is looser)."""
+    from dr3_tpu.pipelines.panorama import Panorama, PanType
+
+    out = Panorama(focal_length=float(focal), pan_type=PanType.TRANSLATE,
+                   feathering_width=40).process_dir(f"{R}/field")
+    gold = _load(
+        f"{R}/results/panorama/field_focal_length_{focal}_spherical.jpg")
+    _dims_close(out, gold, dim_tol)
+    assert ncc_vs_golden(out, gold) > min_ncc
+
+
+@pytest.mark.slow
 def test_golden_panorama_yosemite_spherical():
     """Spherical panorama at the reference's published focal length vs
     imgs/results/panorama/yosemite_focal_length_678_spherical.jpg."""

@@ -84,3 +84,56 @@ def test_warp_cylindrical_compiled_matches_oracle(rng):
     diff = np.abs(np.asarray(ref) - np.asarray(out))
     assert np.median(diff) < 1e-3
     assert diff.max() < 5e-2, diff.max()
+
+
+def test_lk_then_keyframe_spawn_no_worker_crash(rng):
+    """Chip-side crash canary: the round-2/3 TPU worker fault fired when a
+    scatter/gather composite program ran AFTER the LK Pallas program at
+    KITTI resolution (the keyframe detect/spawn stage). The scatter-free
+    rewrite fixed it; this runs the exact sequence so a regression shows
+    up as a worker crash here, not at the end of a 500-frame run."""
+    import jax
+
+    from dr3_tpu.models.camera import Pinhole
+    from dr3_tpu.pipelines.vo import _keyframe_step, _spawn_tracks
+    from dr3_tpu.state import KeyframeState, MapState, TrackState
+    from dr3_tpu.utils.config import Config
+
+    cfg = Config(fast_threshold=8.0)
+    img = _kitti_like(rng)
+    pyr = [jnp.asarray(p) for p in pyramid.build_pyramid(img, 4)]
+    n = 546
+    px = jnp.asarray(rng.uniform([20, 20], [W - 20, H - 20],
+                                 (n, 2)).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(size=n) < 0.9)
+    tracks = TrackState.empty(n, cfg.feature_align_patch)._replace(
+        px=px, ref_px=px, valid=valid,
+        ref_kf=jnp.ones((n,), jnp.int32),
+        point=jnp.where(jnp.arange(n) % 2 == 0, jnp.arange(n), -1)
+        .astype(jnp.int32))
+    kfs = KeyframeState.empty(cfg.max_keyframes, n)
+    kfs = kfs._replace(valid=kfs.valid.at[0].set(True).at[1].set(True),
+                       obs_px=kfs.obs_px.at[1].set(px))
+    mp = MapState.empty(cfg.max_points)
+    mp = mp._replace(
+        xyz=mp.xyz.at[:n].set(jnp.asarray(
+            rng.uniform([-5, -2, 4], [5, 2, 30], (n, 3)).astype(np.float32))),
+        valid=mp.valid.at[:n].set(True))
+    f = 0.875 * W
+    cam = Pinhole.create(W, H, f, f, W / 2.0, H / 2.0)
+    from dr3_tpu.geometry.lie import SE3
+
+    # 1. the LK Pallas program (the context that triggered the fault)
+    res = track_pyramid_pallas(pyr, pyr, px, valid, half_window=7, iters=10,
+                               interpret=False)
+    jax.block_until_ready(res.pos)
+    # 2. spawn alone, then the fused keyframe step — both formerly fatal
+    tr, n_sp = _spawn_tracks(pyr, tracks, cfg, jnp.asarray(2, jnp.int32),
+                             (H, W))
+    jax.block_until_ready(tr.px)
+    out = _keyframe_step(pyr, tracks, kfs, SE3.identity(), mp,
+                         jnp.asarray(int(n // 2), jnp.int32), cam, cfg,
+                         jnp.asarray(2, jnp.int32), (H, W))
+    st = np.asarray(out[2])
+    assert np.all(np.isfinite(st))
+    assert int(st[2]) >= 0  # spawned counter sane
