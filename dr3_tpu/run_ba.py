@@ -24,6 +24,13 @@ on one chip.
 
 from __future__ import annotations
 
+# direct-script invocation (python dr3_tpu/run_X.py) from any cwd: put the
+# repo root on sys.path so the package imports resolve
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time
