@@ -39,7 +39,8 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from dr3_tpu.ba.problem import BAProblem, apply_update, linearize
-from dr3_tpu.ba.schur_core import (_explicit_s_corr, _pad_obs,
+from dr3_tpu.ba.schur_core import (_DENSE_W_MAX_ELEMS, _explicit_s_corr,
+                                   _explicit_s_corr_dense, _pad_obs,
                                    assemble_blocks, group_by_point)
 from dr3_tpu.ba.schur_lm import BAResult
 from dr3_tpu.geometry.linalg import inv3x3
@@ -147,11 +148,18 @@ def _dist_ba_shardfn(cam_wxyz, cam_t, intr, dist, cam_fixed, pts_l, oc, op,
         rhs_corr_part = jax.ops.segment_sum(
             jnp.einsum("ocl,ol->oc", WHinv, blocks.bp[blocks.obs_pt]),
             blocks.obs_cam, num_segments=K)
-        tbl = group_by_point(blocks.obs_pt, blocks.active, P_loc, K)
-        S_corr_part = _explicit_s_corr(
-            _pad_obs(WHinv), _pad_obs(blocks.AtB),
-            jnp.concatenate([blocks.obs_cam, jnp.zeros((1,), jnp.int32)]),
-            tbl, K)
+        if P_loc * K * 6 * 3 <= _DENSE_W_MAX_ELEMS:
+            # per-shard dense-W correction as one MXU contraction (same
+            # 91x win as the single-device window solve, ba/schur_core.py)
+            S_corr_part = _explicit_s_corr_dense(
+                WHinv, blocks.AtB, blocks.obs_cam, blocks.obs_pt,
+                blocks.active, K, P_loc)
+        else:
+            tbl = group_by_point(blocks.obs_pt, blocks.active, P_loc, K)
+            S_corr_part = _explicit_s_corr(
+                _pad_obs(WHinv), _pad_obs(blocks.AtB),
+                jnp.concatenate([blocks.obs_cam, jnp.zeros((1,), jnp.int32)]),
+                tbl, K)
 
         # the ONE communication step per iteration: combine partial reduced
         # systems over ICI
