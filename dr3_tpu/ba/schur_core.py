@@ -383,7 +383,13 @@ def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
         def cond(st):
             i, x, r, p, rz, q_prev, q_cur = st
             resid_ok = dot(r, r) > cg_tol**2 * bs
-            dq = q_cur - q_prev
+            # Ceres' criterion: Q decreases monotonically, so the per-
+            # iteration improvement is q_prev - q_cur >= 0; stop when the
+            # projected remaining improvement i*(Q_{i-1} - Q_i) falls below
+            # q_eta*|Q_i|. (A previous formulation used q_cur - q_prev <= 0,
+            # which is always true — every q_eta>0 solve exited after 2
+            # iterations; pinned by test_pcg_q_eta_not_premature.)
+            dq = q_prev - q_cur
             stagnant = (q_eta > 0.0) & (i > 1) & \
                 (i.astype(q_cur.dtype) * dq <= q_eta * jnp.abs(q_cur))
             return (i < cg_iters) & resid_ok & ~stagnant

@@ -240,12 +240,19 @@ def apply_update(p: SnavelyProblem, dc: jnp.ndarray,
                       points=p.points + dp)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6, 7, 8))
 def bundle_adjust_snavely(problem: SnavelyProblem, max_iters: int = 30,
                           huber_delta: float = 2.0, lambda0: float = 1e-3,
                           solver: str = "auto", d_max: int | None = None,
-                          cg_iters: int = 100) -> SnavelyResult:
-    """LM on the exact BAL objective (ba.cc's ceres::Solve equivalent)."""
+                          cg_iters: int = 100, cg_tol: float = 1e-2,
+                          q_eta: float = 0.1) -> SnavelyResult:
+    """LM on the exact BAL objective (ba.cc's ceres::Solve equivalent).
+
+    ``cg_tol``/``q_eta`` control the PCG inner solve (defaults: the loose
+    Ceres ITERATIVE_SCHUR forcing, right for BAL-scale problems whose outer
+    LM loop absorbs step inexactness). Callers that need near-exact steps —
+    fixed LM budgets, tight-convergence tests — pass cg_tol=1e-5, q_eta=0.
+    """
     method = solver
     if solver == "auto":
         method = "explicit" if problem.n_cams <= _EXPLICIT_MAX_CAMS else "pcg"
@@ -264,7 +271,7 @@ def bundle_adjust_snavely(problem: SnavelyProblem, max_iters: int = 30,
         # exit cuts ~90 CG iterations per LM step at identical final cost
         dc, dpt, _ = solve_schur(blocks, lam, p.cam_fixed, method=method,
                                  d_max=d_max, cg_iters=cg_iters,
-                                 cg_tol=1e-2, q_eta=0.1)
+                                 cg_tol=cg_tol, q_eta=q_eta)
         p_new = apply_update(p, dc, dpt)
         new_cost = residual_cost(p_new, huber_delta)
         # finite params required: a nan candidate masks its own

@@ -148,7 +148,9 @@ def _dist_ba_shardfn(cam_wxyz, cam_t, intr, dist, cam_fixed, pts_l, oc, op,
         rhs_corr_part = jax.ops.segment_sum(
             jnp.einsum("ocl,ol->oc", WHinv, blocks.bp[blocks.obs_pt]),
             blocks.obs_cam, num_segments=K)
-        if P_loc * K * 6 * 3 <= _DENSE_W_MAX_ELEMS:
+        # camera-block dim read off AtB [O, C, 3] (not a literal 6) so the
+        # memory guard stays correct if the parameterization grows
+        if P_loc * K * blocks.AtB.shape[-2] * 3 <= _DENSE_W_MAX_ELEMS:
             # per-shard dense-W correction as one MXU contraction (same
             # 91x win as the single-device window solve, ba/schur_core.py)
             S_corr_part = _explicit_s_corr_dense(

@@ -471,6 +471,13 @@ class MonoVO:
         self.mesh = mesh
         self.cam = cam
         self.cfg = cfg or Config()
+        if self.cfg.loop_closure and self.cfg.loop_db_capacity < 4:
+            # db_compact keeps every other slot + a tail; below 4 slots the
+            # compaction frees nothing and the next db_add at slot==capacity
+            # would be a silently dropped OOB scatter under jit
+            raise ValueError("loop_db_capacity must be >= 4 when "
+                             "loop_closure is enabled (got "
+                             f"{self.cfg.loop_db_capacity})")
         n_cols = -(-cam.width // self.cfg.cell_size)
         n_rows = -(-cam.height // self.cfg.cell_size)
         # one track slot per grid cell, capped by the max_corners capacity

@@ -111,6 +111,45 @@ def test_pcg_matches_dense_oracle(rng):
                                atol=5e-3, rtol=5e-3)
 
 
+def test_pcg_q_eta_not_premature(rng):
+    """The Q-stagnation exit (q_eta > 0) must implement Ceres' criterion
+    ``i*(Q_{i-1} - Q_i) <= q_eta*|Q_i|``. A round-3 sign inversion
+    (``q_cur - q_prev``, always <= 0) made it a tautology: EVERY q_eta>0
+    solve exited after exactly 2 CG iterations regardless of q_eta's value.
+    Discriminator: with a tiny forcing (q_eta=1e-6) the solve must keep
+    iterating until Q truly stagnates — near the tight-tolerance solution —
+    while a literal 2-iteration solve (the broken behavior, identical for
+    any q_eta under the tautology) stays far from it."""
+    prob, *_ = synthetic_ba(rng, n_cams=6, n_pts=80, noise_px=0.4,
+                            pose_noise=0.03)
+    res = linearize(prob, 5.0)
+    active = (prob.obs_w > 0) & res.valid
+    blocks = assemble_blocks(res.r, res.Jc, res.Jp, prob.obs_cam,
+                             prob.obs_pt, active, prob.n_cams, prob.n_points)
+
+    def solve(cg_iters, cg_tol, q_eta):
+        dc, dp, _ = solve_schur(blocks, 1e-3, prob.cam_fixed, method="pcg",
+                                d_max=prob.n_cams, cg_iters=cg_iters,
+                                cg_tol=cg_tol, q_eta=q_eta)
+        return np.asarray(dc), np.asarray(dp)
+
+    dc_ref, dp_ref = solve(400, 1e-7, 0.0)    # near-exact
+    dc_eta, dp_eta = solve(400, 1e-7, 1e-6)   # tiny Q-stagnation forcing
+    dc_two, _ = solve(2, 1e-12, 0.0)          # the broken-criterion behavior
+
+    err_eta = np.abs(dc_eta - dc_ref).max()
+    err_two = np.abs(dc_two - dc_ref).max()
+    assert err_two > 5e-3, err_two            # 2 iters is genuinely far off
+    assert err_eta < 1e-3, (err_eta, err_two)  # tiny eta -> keeps iterating
+    np.testing.assert_allclose(dp_eta, dp_ref, atol=1e-3, rtol=1e-3)
+    # the production loose forcing is inexact by design (the outer LM loop
+    # absorbs it) but must stay finite and within the same order of
+    # magnitude as the exact camera step
+    dc_l, dp_l = solve(400, 1e-7, 0.1)
+    assert np.all(np.isfinite(dc_l)) and np.all(np.isfinite(dp_l))
+    assert np.abs(dc_l - dc_ref).max() < 10 * err_two
+
+
 def test_group_by_point_table(rng):
     P, O, D = 7, 20, 4
     obs_pt = jnp.asarray(rng.integers(0, P, O), jnp.int32)
