@@ -54,7 +54,9 @@ class Config:
     feature_align_iters: int = 8
 
     # --- sparse image alignment (SVO 'sparse_img_align' stage) ---
-    use_sparse_align: bool = False  # direct coarse-level pose pre-tracking
+    use_sparse_align: bool = True   # direct coarse-level pose pre-tracking
+                                    # (DEFAULT ON since round 4: the shipped
+                                    # configuration is the measured one)
     align_level: int = 2
     align_half_patch: int = 2
     align_iters: int = 12
@@ -67,6 +69,19 @@ class Config:
                                      # per frame instead of four. False
                                      # restores per-stage dispatch with
                                      # per-stage Monitor timers (profiling).
+    frames_per_dispatch: int = 8     # MonoVO.process_batch scan width: the
+                                     # device-resident frame loop consumes
+                                     # up to this many frames (general AND
+                                     # keyframe work incl. window BA) per
+                                     # host dispatch; the host pays ONE
+                                     # relay round-trip per batch instead of
+                                     # several per frame. 1 = per-frame.
+    scan_transfer_uint8: bool = False  # ship frames to the device as uint8
+                                     # (4x less relay upload traffic,
+                                     # /255 on device). Lossless for 8-bit
+                                     # sources (KITTI PNGs); off by default
+                                     # so float-rendered synthetic frames
+                                     # match the per-frame path bitwise.
 
     # --- keyframe policy ---
     kf_disparity: float = 40.0       # median px disparity vs originating kf
@@ -75,7 +90,8 @@ class Config:
 
     # --- loop closure (beyond reference; backend half = README.md:47-48
     #     "KeyFrames for graph optimization" TODO) ---
-    loop_closure: bool = False       # enable place recognition + closure
+    loop_closure: bool = True        # enable place recognition + closure
+                                     # (DEFAULT ON since round 4)
     loop_db_capacity: int = 256      # keyframe database size (append-only)
     loop_thumb_h: int = 12           # global-descriptor thumbnail rows
     loop_thumb_w: int = 40           # ... cols (ZNCC over [C, h*w] matmul)

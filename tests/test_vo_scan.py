@@ -1,0 +1,119 @@
+"""Device-resident batched frame loop (`MonoVO.process_batch`) vs the
+per-frame driver.
+
+The scan path moves the ENTIRE general-frame + keyframe pipeline (incl.
+window BA and the loop-database insert/query) into one ``lax.scan`` program
+(pipelines/vo.py `_scan_frames`); the host handles only bootstrap,
+relocalization, compaction, and loop-closure correction. The per-frame
+`process` path is the semantic reference — these tests pin that batching
+changes dispatch granularity only, mirroring how the reference's published
+figure is whole-loop FPS (reference src/slam.cpp:49-84).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dr3_tpu.geometry.lie import SE3
+from dr3_tpu.models.camera import Pinhole
+from dr3_tpu.utils.config import Config
+from tests.synth import make_textures, render_scene
+
+
+def _cam():
+    return Pinhole.create(320, 240, 280.0, 280.0, 160.0, 120.0)
+
+
+def _lateral_pose(x):
+    return SE3.exp(jnp.asarray([-x, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32))
+
+
+def _out_and_back_frames(rng, half=16, step=0.09):
+    tn, tf = make_textures(rng)
+    xs = [step * i for i in range(half)] + \
+        [step * (half - 1 - i) for i in range(half)]
+    return [np.asarray(render_scene(_cam(), _lateral_pose(x), tn, tf))
+            for x in xs]
+
+
+_BASE = dict(init_min_features=60, init_min_tracked=60,
+             init_min_triangulated=30, init_min_disparity=2.0,
+             max_keyframes=16, kf_disparity=10.0,
+             loop_db_capacity=32, loop_min_gap_frames=12,
+             loop_min_score=0.6, loop_min_inliers=20, loop_cooldown_kfs=3,
+             loop_max_edges=4)
+
+
+def _run(frames, cfg, batched):
+    from dr3_tpu.pipelines.vo import MonoVO
+
+    vo = MonoVO(_cam(), cfg)
+    if batched:
+        vo.process_batch(frames)
+    else:
+        for f in frames:
+            vo.process(f)
+    return vo
+
+
+def _assert_equivalent(vo_a, vo_b, atol=1e-3):
+    assert vo_a.kf_count == vo_b.kf_count
+    assert vo_a.n_loop_closures == vo_b.n_loop_closures
+    assert vo_a.n_relocalizations == vo_b.n_relocalizations
+    assert len(vo_a.trajectory) == len(vo_b.trajectory)
+    np.testing.assert_allclose(vo_a.positions(), vo_b.positions(), atol=atol)
+    kf_a = [(s.frame_id, s.is_keyframe) for s in vo_a.stats]
+    kf_b = [(s.frame_id, s.is_keyframe) for s in vo_b.stats]
+    assert kf_a == kf_b
+
+
+@pytest.mark.slow
+def test_scan_matches_per_frame_with_loop_closure(rng):
+    """Out-and-back sweep: keyframes, ring eviction, and >=1 loop closure
+    (the _REASON_LOOP_CAND early-out) — batched == per-frame."""
+    frames = _out_and_back_frames(rng)
+    cfg = Config(**_BASE, frames_per_dispatch=4)
+    vo_pf = _run(frames, cfg, batched=False)
+    vo_sc = _run(frames, cfg, batched=True)
+    assert vo_sc.n_loop_closures >= 1  # the deferred-BA path was exercised
+    _assert_equivalent(vo_pf, vo_sc)
+
+
+def test_scan_batch_width_invariance(rng):
+    """Different frames_per_dispatch values (incl. partial final batches)
+    must not change the trajectory."""
+    frames = _out_and_back_frames(rng, half=9)
+    runs = {}
+    for N in (1, 3, 7):
+        cfg = Config(**_BASE, loop_closure=False, frames_per_dispatch=N)
+        runs[N] = _run(frames, cfg, batched=True)
+    _assert_equivalent(runs[1], runs[3])
+    _assert_equivalent(runs[1], runs[7])
+
+
+@pytest.mark.slow
+def test_scan_capacity_early_out(rng):
+    """Tiny map capacity: the scan must hand capacity keyframes back to the
+    host (_REASON_HOST_KF), compaction must run, and the batched trajectory
+    must still match per-frame."""
+    frames = _out_and_back_frames(rng, half=16, step=0.18)
+    cfg = Config(**{**_BASE, "max_keyframes": 6, "kf_disparity": 5.0},
+                 loop_closure=False, frames_per_dispatch=4, max_points=192)
+    vo_pf = _run(frames, cfg, batched=False)
+    vo_sc = _run(frames, cfg, batched=True)
+    assert vo_sc.n_compactions >= 1
+    assert vo_sc.n_compactions == vo_pf.n_compactions
+    _assert_equivalent(vo_pf, vo_sc)
+
+
+def test_scan_uint8_transfer(rng):
+    """scan_transfer_uint8 ships quantized frames; on already-8-bit inputs
+    it is lossless, so the trajectory matches the float path."""
+    frames = _out_and_back_frames(rng, half=8)
+    frames = [np.round(f * 255.0).astype(np.uint8).astype(np.float32) / 255.0
+              for f in frames]
+    cfg_f = Config(**_BASE, loop_closure=False, frames_per_dispatch=4)
+    cfg_u = cfg_f.replace(scan_transfer_uint8=True)
+    vo_f = _run(frames, cfg_f, batched=True)
+    vo_u = _run(frames, cfg_u, batched=True)
+    _assert_equivalent(vo_f, vo_u, atol=1e-5)

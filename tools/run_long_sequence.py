@@ -30,16 +30,28 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_sequence(n_frames: int, width: int, height: int, rng):
-    """Ground-truth poses + rendered frames: lateral out-and-back sweeps
-    (several periods -> revisits for loop closure) with gentle yaw wobble.
+def make_sequence(n_frames: int, width: int, height: int, rng,
+                  profile: str = "lateral"):
+    """Ground-truth poses + rendered frames.
+
+    ``profile``:
+    * ``lateral`` — out-and-back sweeps (several periods -> revisits for
+      loop closure) with gentle yaw wobble: maximal-parallax geometry.
+    * ``forward`` — KITTI-like forward-dominant driving down an endless
+      textured corridor with S-curve turns and one rotation-only stress
+      segment (zero parallax while it lasts) — the regime the reference
+      demonstrates (reference README.md:4-5), where parallax vanishes
+      near the focus of expansion.
 
     Pose math and rendering are pure numpy (NpSE3): on the axon platform
     every un-jitted jnp op is a remote-relay round-trip, which turned the
     old SE3-based generator into minutes of host<->TPU chatter before the
     pipeline even started."""
+    from scipy import ndimage
+
     from dr3_tpu.models.camera import Pinhole
-    from tests.synth import NpSE3, make_textures, render_scene
+    from tests.synth import (NpSE3, corridor_path, make_textures,
+                             render_corridor, render_scene)
 
     from types import SimpleNamespace
 
@@ -54,8 +66,20 @@ def make_sequence(n_frames: int, width: int, height: int, rng):
     # plain-float camera view for the renderer: float(cam.fx) on an axon
     # Pinhole is a device fetch per access, 4x per frame
     host_cam = SimpleNamespace(**intr)
-    tex_near, tex_far = make_textures(rng)
 
+    if profile == "forward":
+        tex_g, tex_w = make_textures(rng, size=800)
+        # soften the tile so far-field texture near the focus of expansion
+        # stays resolvable instead of aliasing into noise
+        tex_g = ndimage.gaussian_filter(tex_g, 1.5)
+        tex_w = ndimage.gaussian_filter(tex_w, 1.5)
+        poses, _centers = corridor_path(n_frames)
+        frames = [np.asarray(render_corridor(host_cam, T, tex_g, tex_w,
+                                             px_per_unit=28.0))
+                  for T in poses]
+        return cam, poses, frames
+
+    tex_near, tex_far = make_textures(rng)
     period = 100
     amp = 1.4
     poses = []
@@ -78,6 +102,11 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--kitti-res", action="store_true",
                     help="render at 1240x376 (slower)")
+    ap.add_argument("--profile", choices=("lateral", "forward"),
+                    default="lateral",
+                    help="motion profile: lateral out-and-back sweeps "
+                         "(max parallax) or KITTI-like forward driving "
+                         "with turns + a rotation-only stress segment")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--distributed", action="store_true",
                     help="shard window BA over all local devices")
@@ -90,6 +119,12 @@ def main(argv=None):
     ap.add_argument("--no-fused", action="store_true",
                     help="per-stage dispatches instead of the fused frontend "
                          "(with --sync, attributes a TPU fault to its stage)")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="frames per device dispatch (the device-resident "
+                         "scan loop; 1 = per-frame host driver)")
+    ap.add_argument("--uint8", action="store_true",
+                    help="ship frames to the device as uint8 (4x less relay "
+                         "upload; quantizes rendered float frames)")
     ap.add_argument("--sync", action="store_true",
                     help="block after every frame (localizes async TPU "
                          "faults to the frame that queued them)")
@@ -112,13 +147,17 @@ def main(argv=None):
     from dr3_tpu.viz.ate import ate_rmse
 
     rng = np.random.default_rng(args.seed)
-    print(f"rendering {args.frames} frames at {args.width}x{args.height}...")
+    print(f"rendering {args.frames} {args.profile} frames at "
+          f"{args.width}x{args.height}...")
     cam, poses, frames = make_sequence(args.frames, args.width, args.height,
-                                       rng)
+                                       rng, profile=args.profile)
 
+    # forward profile: ~1/3 of corners sit in the aliased far field near
+    # the focus of expansion and die early — the init gate must tolerate it
+    min_tracked = 50 if args.profile == "forward" else 60
     cfg = Config(
         fast_threshold=8.0,
-        init_min_features=60, init_min_tracked=60,
+        init_min_features=60, init_min_tracked=min_tracked,
         init_min_triangulated=30, init_min_disparity=2.0,
         kf_disparity=12.0,
         max_points=8192,            # modest capacity -> compactions happen
@@ -127,6 +166,8 @@ def main(argv=None):
         loop_min_inliers=20, loop_cooldown_kfs=4,
         fused_frontend=not args.no_fused,
         use_sparse_align=not args.no_sparse_align,
+        frames_per_dispatch=args.batch,
+        scan_transfer_uint8=args.uint8,
     )
     mesh = None
     if args.distributed:
@@ -138,18 +179,25 @@ def main(argv=None):
     import jax as _jax
 
     warm = min(40, args.frames // 4)
+    batched = args.batch > 1 and not args.sync and not args.no_fused \
+        and mesh is None
     t_all0 = time.perf_counter()
-    for i, f in enumerate(frames[:warm]):
-        vo.process(f)
-        if args.sync:
-            _jax.block_until_ready(vo.map.xyz)
-            print(f"frame {i} ok (kf={vo.kf_count})", flush=True)
-    t0 = time.perf_counter()
-    for i, f in enumerate(frames[warm:]):
-        vo.process(f)
-        if args.sync:
-            _jax.block_until_ready(vo.map.xyz)
-            print(f"frame {warm + i} ok (kf={vo.kf_count})", flush=True)
+    if batched:
+        vo.process_batch(frames[:warm])
+        t0 = time.perf_counter()
+        vo.process_batch(frames[warm:])
+    else:
+        for i, f in enumerate(frames[:warm]):
+            vo.process(f)
+            if args.sync:
+                _jax.block_until_ready(vo.map.xyz)
+                print(f"frame {i} ok (kf={vo.kf_count})", flush=True)
+        t0 = time.perf_counter()
+        for i, f in enumerate(frames[warm:]):
+            vo.process(f)
+            if args.sync:
+                _jax.block_until_ready(vo.map.xyz)
+                print(f"frame {warm + i} ok (kf={vo.kf_count})", flush=True)
     dt = time.perf_counter() - t0
     dt_all = time.perf_counter() - t_all0
     fps = (args.frames - warm) / dt
@@ -175,6 +223,7 @@ def main(argv=None):
         "loop_closures": vo.n_loop_closures,
         "relocalizations": vo.n_relocalizations,
         "distributed": bool(mesh),
+        "frames_per_dispatch": args.batch if batched else 1,
     }
     print(json.dumps(out))
     return 0
