@@ -1,0 +1,116 @@
+"""Real-imagery drift gate: palindrome-cycle the ten checked-in KITTI
+frames (reference imgs/kitti0-9.png) into a long sequence and measure
+REVISIT CONSISTENCY — a ground-truth-free drift metric on real imagery.
+
+The cycle 0..9,8..1 returns the camera to the exact starting content every
+18 frames: at each such revisit the camera sees literally the same image,
+so |position - position at first visit|, normalized by the path length
+traveled in between, is pure accumulated drift (no dataset egress needed —
+SURVEY §4: the fixtures are the only real data, used quantitatively here,
+round-3 verdict missing item 4).
+
+    python tools/run_real_palindrome.py --frames 180 [--cpu] [--no-loop]
+
+Prints one JSON line with per-revisit errors and the summary drift
+percentage, with and within the configured loop-closure setting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def palindrome_indices(n_frames: int, n_base: int = 10) -> list[int]:
+    base = list(range(n_base))
+    cyc = base + base[-2:0:-1]          # 0..9,8..1 -> period 2*(n_base-1)
+    return [cyc[i % len(cyc)] for i in range(n_frames)]
+
+
+def revisit_errors(positions: np.ndarray, idxs: list[int]):
+    """For every later occurrence j of the starting content (idxs[j]==0),
+    the drift |p_j - p_0| relative to the path length traveled since the
+    start. Returns a list of dicts."""
+    pos = np.asarray(positions)
+    steps = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(steps)])
+    out = []
+    for j, ix in enumerate(idxs[: len(pos)]):
+        if ix == 0 and j > 0:
+            traveled = float(cum[j] - cum[0])
+            err = float(np.linalg.norm(pos[j] - pos[0]))
+            out.append({"frame": j, "err": round(err, 5),
+                        "traveled": round(traveled, 4),
+                        "err_pct": round(100.0 * err / max(traveled, 1e-9),
+                                         3)})
+    return out
+
+
+def run(frames, cam, cfg):
+    from dr3_tpu.pipelines.vo import MonoVO
+
+    vo = MonoVO(cam, cfg)
+    t0 = time.perf_counter()
+    vo.process_batch(frames)
+    dt = time.perf_counter() - t0
+    return vo, dt
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=180)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from dr3_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dr3_tpu.io.kitti import open_fixture_sequence
+    from dr3_tpu.models.camera import Pinhole
+    from dr3_tpu.utils.config import Config
+
+    seq = open_fixture_sequence()
+    base = [np.asarray(seq.frame(i), np.float32) for i in range(len(seq))]
+    idxs = palindrome_indices(args.frames, len(base))
+    frames = [base[i] for i in idxs]
+
+    cfg = Config(loop_closure=not args.no_loop, loop_db_capacity=64,
+                 loop_min_gap_frames=10, loop_min_inliers=15,
+                 loop_cooldown_kfs=2, frames_per_dispatch=args.batch,
+                 scan_transfer_uint8=True)
+    vo, dt = run(frames, Pinhole.kitti(), cfg)
+    errs = revisit_errors(vo.positions(), idxs)
+    pct = [e["err_pct"] for e in errs]
+    out = {
+        "frames": args.frames,
+        "loop_closure": not args.no_loop,
+        "fps": round(args.frames / dt, 2),
+        "keyframes": vo.kf_count,
+        "loop_closures": vo.n_loop_closures,
+        "relocalizations": vo.n_relocalizations,
+        "n_revisits": len(errs),
+        "revisit_err_pct_final": pct[-1] if pct else None,
+        "revisit_err_pct_max": max(pct) if pct else None,
+        "revisit_err_pct_mean": round(float(np.mean(pct)), 3) if pct else None,
+        "revisits": errs[-5:],
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
