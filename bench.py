@@ -218,25 +218,30 @@ def _bench_pipeline(jax, jnp):
     n_total = int(os.environ.get("BENCH_PIPELINE_FRAMES", "260"))
     frames = [palindrome[i % len(palindrome)] for i in range(n_total)]
 
-    # every flagship stage ON (these are the shipped defaults since round
-    # 4); the palindrome gives real revisits so place recognition fires
-    # during the bench. uint8 transfer is lossless for the 8-bit PNGs.
-    cfg = Config(loop_db_capacity=32, loop_min_gap_frames=10,
-                 loop_min_inliers=15, loop_cooldown_kfs=2,
+    # every flagship stage ON at the SHIPPED defaults, with two overrides
+    # scaled to the fixture sequence (documented, not quality-relaxed):
+    # loop_min_gap_frames=20 because the palindrome's content period is 18
+    # frames (the 100-frame default is calibrated for 10 Hz real capture),
+    # and loop_db_capacity=24 so the database ring-compaction path gets
+    # exercised (and warmed) within the run. uint8 transfer is lossless
+    # for the 8-bit PNGs.
+    cfg = Config(loop_min_gap_frames=20, loop_db_capacity=24,
                  frames_per_dispatch=int(os.environ.get("BENCH_BATCH", "8")),
                  scan_transfer_uint8=True)
     vo = MonoVO(Pinhole.kitti(), cfg)
     # warmup must cover EVERY program (bootstrap, the scan loop incl. its
-    # keyframe/BA/loop branches, loop verify + PGO) or first remote
+    # keyframe/BA/loop branches, loop verify + PGO + the fused closure
+    # apply, the host keyframe path behind db compaction) or first remote
     # compiles (30-120 s each through the tunnel) land inside the timed
-    # window: warm until keyframes AND a loop closure have fired (the
-    # palindrome guarantees revisits), capped at half the frames
+    # window: warm until keyframes, a loop closure, AND a db ring
+    # compaction have all fired, capped at 60% of the frames
     warm = 0
-    cap = n_total // 2
+    cap = int(0.6 * n_total)
     while warm < cap:
         vo.process_batch(frames[warm:warm + cfg.frames_per_dispatch])
         warm = vo.frame_idx + 1
-        if vo.kf_count >= 5 and vo.n_loop_closures >= 1 and warm >= 12:
+        if (vo.kf_count >= 5 and vo.n_loop_closures >= 1
+                and vo.n_db_compactions >= 1 and warm >= 12):
             break
     n_stats0, lc0 = len(vo.stats), vo.n_loop_closures
     vo.monitor = type(vo.monitor)()  # timed-window-only stage breakdown

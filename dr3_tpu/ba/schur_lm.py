@@ -69,13 +69,16 @@ def _params_finite(p: BAProblem) -> jnp.ndarray:
 
 def _solve_once(p: BAProblem, lam, huber_delta: float, jacobi: bool,
                 optimize_intrinsics: bool, method: str, d_max: int,
-                cg_iters: int):
-    res = linearize(p, huber_delta, with_intrinsics=optimize_intrinsics)
+                cg_iters: int, cg_tol: float = 1e-5, q_eta: float = 0.0,
+                res=None):
+    if res is None:
+        res = linearize(p, huber_delta, with_intrinsics=optimize_intrinsics)
     active = (p.obs_w > 0) & res.valid
     blocks = assemble_blocks(res.r, res.Jc, res.Jp, p.obs_cam, p.obs_pt,
                              active, p.n_cams, p.n_points, Jg=res.Jg)
     dc, dp, dg = solve_schur(blocks, lam, p.cam_fixed, method=method,
-                             d_max=d_max, jacobi=jacobi, cg_iters=cg_iters)
+                             d_max=d_max, jacobi=jacobi, cg_iters=cg_iters,
+                             cg_tol=cg_tol, q_eta=q_eta)
     return res.cost, apply_update(p, dc, dp, dg)
 
 
@@ -85,38 +88,53 @@ def _pick_solver(problem: BAProblem, solver: str):
     return solver
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5, 6, 7, 8, 9, 10))
 def bundle_adjust(problem: BAProblem, max_iters: int = 20,
                   huber_delta: float = 5.0, jacobi: bool = True,
                   lambda0: float = 1e-3, optimize_intrinsics: bool = False,
                   solver: str = "auto", d_max: int | None = None,
-                  cg_iters: int = 100) -> BAResult:
-    """Full LM loop (global_BA parity, src/optimizer.cpp:131-175)."""
+                  cg_iters: int = 100, cg_tol: float = 1e-5,
+                  q_eta: float = 0.0) -> BAResult:
+    """Full LM loop (global_BA parity, src/optimizer.cpp:131-175).
+
+    LM with linearization reuse: the accept-cost evaluation at the trial
+    point IS the next iteration's linearization when the step is accepted,
+    so each iteration pays exactly one linearize (the previous formulation
+    paid two — ~2 ms each at window shapes on a v5e). ``cg_tol``/``q_eta``
+    forward to the PCG solve (q_eta>0 = Ceres' inexact-Newton forcing)."""
     method = _pick_solver(problem, solver)
     if d_max is None:
         # window-style problems observe each point at most once per camera
         d_max = min(problem.n_cams, problem.n_obs)
-    cost0 = linearize(problem, huber_delta).cost
+    res0 = linearize(problem, huber_delta,
+                     with_intrinsics=optimize_intrinsics)
+    cost0 = res0.cost
 
     def body(_, state):
-        p, lam, best_cost, n_acc = state
+        p, res, lam, best_cost, n_acc = state
         cost, p_new = _solve_once(p, lam, huber_delta, jacobi,
                                   optimize_intrinsics, method, d_max,
-                                  cg_iters)
-        new_cost = linearize(p_new, huber_delta).cost
+                                  cg_iters, cg_tol, q_eta, res=res)
+        res_new = linearize(p_new, huber_delta,
+                            with_intrinsics=optimize_intrinsics)
+        new_cost = res_new.cost
         # a nan/inf candidate masks its own observations inside linearize
         # (cost drops to ~0), so finite cost alone is not an accept
         # criterion — the parameters themselves must stay finite
         ok = (new_cost < best_cost) & jnp.isfinite(new_cost) \
             & _params_finite(p_new)
         p_next = jax.tree.map(lambda a, b: jnp.where(ok, b, a), p, p_new)
+        res_next = jax.tree.map(lambda a, b: jnp.where(ok, b, a), res,
+                                res_new)
         lam_next = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-9),
                              jnp.minimum(lam * 2.0, 1e6))
         best = jnp.where(ok, new_cost, best_cost)
-        return p_next, lam_next, best, n_acc + ok.astype(jnp.int32)
+        return p_next, res_next, lam_next, best, n_acc + ok.astype(jnp.int32)
 
-    init = (problem, jnp.asarray(lambda0, jnp.float32), cost0, jnp.asarray(0, jnp.int32))
-    p_fin, lam_fin, cost_fin, n_acc = jax.lax.fori_loop(0, max_iters, body, init)
+    init = (problem, res0, jnp.asarray(lambda0, jnp.float32), cost0,
+            jnp.asarray(0, jnp.int32))
+    p_fin, _, lam_fin, cost_fin, n_acc = jax.lax.fori_loop(0, max_iters,
+                                                           body, init)
     return BAResult(problem=p_fin, initial_cost=cost0, final_cost=cost_fin,
                     n_accepted=n_acc, lambda_final=lam_fin)
 

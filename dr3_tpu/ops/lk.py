@@ -218,3 +218,59 @@ def track_pyramid_auto(pyr_prev, pyr_next, pts, valid, init=None,
     return track_pyramid(pyr_prev, pyr_next, pts, valid, init=init,
                          half_window=half_window, iters=iters, eps=eps,
                          max_err=max_err)
+
+
+def template_atlas(templates: jnp.ndarray, cell: int = 16,
+                   cols: int = 32) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Lay the [N, W, W] template patches out as ONE atlas image so the
+    Pallas LK kernel (which reads its template from an image) can run the
+    'feature_align' stage: cell (i // cols, i % cols) holds template i,
+    edge-replicated to [cell, cell] so border gradients stay sane. Built
+    with pad + reshape only — no scatter (SURVEY: the round-3 TPU fault
+    class was scatter composites). Returns (atlas [rows*cell, cols*cell],
+    centers [N, 2] template positions in atlas coords, x-y order)."""
+    n, Wp, _ = templates.shape
+    assert Wp + 7 <= cell, (Wp, cell)
+    rows = -(-n // cols)
+    lo = (cell - Wp) // 2
+    hi = cell - Wp - lo
+    padded = jnp.pad(templates, ((0, rows * cols - n), (lo, hi), (lo, hi)),
+                     mode="edge")                       # [rows*cols, c, c]
+    atlas = padded.reshape(rows, cols, cell, cell).transpose(0, 2, 1, 3) \
+        .reshape(rows * cell, cols * cell)
+    idx = jnp.arange(n, dtype=jnp.float32)
+    half = (Wp - 1) // 2
+    cx = (idx % cols) * cell + lo + half
+    cy = (idx // cols) * cell + lo + half
+    return atlas, jnp.stack([cx, cy], axis=-1)
+
+
+def align_to_templates_auto(img: jnp.ndarray, templates: jnp.ndarray,
+                            pos: jnp.ndarray, valid: jnp.ndarray,
+                            iters: int = 8, eps: float = 1e-2,
+                            max_err: float = 30.0,
+                            max_shift: float = 4.0) -> TrackResult:
+    """Backend dispatcher for :func:`align_to_templates`: on TPU the stored
+    templates become an atlas image (template_atlas) and the SAME Pallas LK
+    kernel runs the refinement — the jnp path's per-iteration XLA gathers
+    cost ~16 ms/frame at N=546 on a v5e (measured in-scan, round 4), the
+    kernel ~1 ms. Border-gradient semantics differ slightly (kernel:
+    central differences over the edge-replicated cell; jnp: one-sided), so
+    per-backend trajectories match their own reference, as with
+    track_pyramid_auto."""
+    import jax
+
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        from dr3_tpu.ops.pallas.lk_pallas import track_level_pallas
+
+        half = (templates.shape[-1] - 1) // 2
+        atlas, centers = template_atlas(templates)
+        pos_r, ok_k, err = track_level_pallas(
+            atlas, img, centers, pos, half_window=half, iters=iters,
+            eps=eps, min_eig=0.0, interpret=False)
+        shift = jnp.linalg.norm(pos_r - pos, axis=-1)
+        ok = valid & ok_k & (err < max_err) & (shift <= max_shift)
+        out_pos = jnp.where(ok[:, None], pos_r, pos)
+        return TrackResult(pos=out_pos, ok=ok, err=err)
+    return align_to_templates(img, templates, pos, valid, iters=iters,
+                              eps=eps, max_err=max_err, max_shift=max_shift)

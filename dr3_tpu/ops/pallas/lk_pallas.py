@@ -246,17 +246,19 @@ def track_level_pallas(img_prev, img_next, pts_prev, guess,
     """
     assert half_window + 2 <= PAD, "half_window too large for padding"
     n = pts_prev.shape[0]
-    h, w = img_prev.shape
+    h, w = img_next.shape          # track positions live in img_next coords
+    hp, wp = img_prev.shape        # template source (may differ: atlas mode)
     n_pad = _round_up(n, batch)
 
     ip = _pad_image(img_prev)
     inx = _pad_image(img_next)
 
+    max_xy_prev = jnp.asarray([wp - 1 + PAD, hp - 1 + PAD], jnp.float32)
     max_xy = jnp.asarray([w - 1 + PAD, h - 1 + PAD], jnp.float32)
     # clip passes NaN through, and floor(NaN)->int32 is undefined inside
     # the kernel — replace non-finite coordinates (diverged/garbage track
     # slots) with a safe interior point; such tracks fail the ok gate
-    pts_pad = jnp.clip(pts_prev + PAD, float(PAD), max_xy)
+    pts_pad = jnp.clip(pts_prev + PAD, float(PAD), max_xy_prev)
     guess_pad = jnp.clip(guess + PAD, float(PAD), max_xy)
     pts_pad = jnp.where(jnp.isfinite(pts_pad), pts_pad, float(PAD))
     guess_pad = jnp.where(jnp.isfinite(guess_pad), guess_pad, float(PAD))
@@ -331,3 +333,78 @@ def track_pyramid_pallas(pyr_prev: List[jnp.ndarray], pyr_next: List[jnp.ndarray
         guess = pos * 2.0 if lvl > 0 else pos
     ok_final = ok_all & valid & (err < max_err)
     return TrackResult(pos=guess, ok=ok_final, err=err)
+
+
+def _sample_kernel(meta_ref, img_ref, out_ref, *, half: int, batch: int):
+    """One grid step = ``batch`` patch loads: aligned-window load + full-
+    tile dynamic rotates + bilinear blend on an [8, 128] tile, written as
+    one aligned [8, 128] row block per patch (Mosaic rejects the
+    [W, W] -> [1, W*W] shape cast a flattened layout would need, and an
+    8-row store keeps the sublane start aligned). W <= 8 required."""
+    step = pl.program_id(0)
+    W = 2 * half + 1
+    assert W <= 8, W
+    rows = 16
+    h_pad, w_pad = img_ref.shape
+    for j in range(batch):
+        i = step * batch + j
+        cx = meta_ref[i, 0]
+        cy = meta_ref[i, 1]
+        bx = jnp.floor(cx).astype(jnp.int32) - half
+        by = jnp.floor(cy).astype(jnp.int32) - half
+        fx = cx - jnp.floor(cx)
+        fy = cy - jnp.floor(cy)
+        y0 = jnp.clip(by, 0, h_pad - rows)
+        x0 = jnp.clip(bx, 0, w_pad - _LANES)
+        y8 = pl.multiple_of((y0 // 8) * 8, 8)
+        x128 = pl.multiple_of((x0 // 128) * 128, 128)
+        region = img_ref[pl.ds(y8, rows), pl.ds(x128, _LANES)]
+        r1 = pltpu.roll(region, rows - (y0 - y8), axis=0)
+        r1 = pltpu.roll(r1, _LANES - (x0 - x128), axis=1)
+        a = r1[0:8, 0:128]
+        b = r1[0:8, 1:129]
+        c = r1[1:9, 0:128]
+        d = r1[1:9, 1:129]
+        patch8 = ((1 - fy) * (1 - fx) * a + (1 - fy) * fx * b
+                  + fy * (1 - fx) * c + fy * fx * d)
+        out_ref[pl.ds(pl.multiple_of(i * 8, 8), 8), :] = patch8
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def sample_patches_pallas(img: jnp.ndarray, coords: jnp.ndarray, half: int,
+                          interpret: bool = False,
+                          batch: int = 8) -> jnp.ndarray:
+    """Batched bilinear patch extraction: [N, 2] centers -> [N, W, W]
+    patches (W <= 8) with clamp (edge-replicate) border semantics — the
+    Pallas replacement for ``bilinear_sample`` patch gathers (XLA gathers
+    are the reason sparse_align cost ~16 ms/frame in-scan on a v5e; this
+    kernel makes patch access dense VPU work like the LK kernel)."""
+    assert half + 2 <= PAD
+    n = coords.shape[0]
+    W = 2 * half + 1
+    assert W <= 8, "sample_patches_pallas supports patches up to 8x8"
+    h, w = img.shape
+    n_pad = _round_up(n, batch)
+    ip = _pad_image(img)
+    max_xy = jnp.asarray([w - 1 + PAD, h - 1 + PAD], jnp.float32)
+    pts = jnp.clip(coords + PAD, float(PAD), max_xy)
+    pts = jnp.where(jnp.isfinite(pts), pts, float(PAD))
+    if n_pad != n:
+        pts = jnp.concatenate(
+            [pts, jnp.full((n_pad - n, 2), float(PAD), pts.dtype)], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // batch,),
+        in_specs=[pl.BlockSpec(ip.shape, lambda i, m: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_pad * 8, 128), lambda i, m: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_sample_kernel, half=half, batch=batch)
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad * 8, 128), jnp.float32),
+        interpret=interpret,
+    )(pts, ip)
+    return out.reshape(n_pad, 8, 128)[:n, :W, :W]

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from dr3_tpu.geometry.lie import SE3, hat
+from dr3_tpu.geometry.linalg import chol_solve_small
 from dr3_tpu.models.camera import Pinhole
 from dr3_tpu.ops.warp import bilinear_sample
 
@@ -43,6 +44,25 @@ def _patch_grid(half: int, dtype=jnp.float32):
     off = jnp.arange(-half, half + 1, dtype=dtype)
     oy, ox = jnp.meshgrid(off, off, indexing="ij")
     return jnp.stack([ox, oy], axis=-1)  # [P, P, 2]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _sample_patches(img, centers, half):
+    """[N, 2] centers -> [N, W, W] bilinear patches, clamp borders.
+    Pallas aligned-window kernel on TPU (XLA patch gathers cost ~11 ms per
+    frame in-scan at N=546 on a v5e), jnp gathers elsewhere."""
+    if _on_tpu():
+        from dr3_tpu.ops.pallas.lk_pallas import sample_patches_pallas
+
+        return sample_patches_pallas(img, centers, half, interpret=False)
+    coords = centers[:, None, None, :] + _patch_grid(half)[None]
+    return bilinear_sample(img, coords, clamp=True)[0]
 
 
 def sparse_align(img_ref: jnp.ndarray, img_cur: jnp.ndarray,
@@ -65,29 +85,29 @@ def sparse_align(img_ref: jnp.ndarray, img_cur: jnp.ndarray,
         xy = xc[..., :2] / z
         return jnp.stack([fx * xy[..., 0] + cx_, fy * xy[..., 1] + cy_], -1)
 
-    grid = _patch_grid(half_patch)  # [P, P, 2]
-
-    # reference patches + gradients at the landmarks' reference projections
+    # reference patches + gradients at the landmarks' reference projections:
+    # ONE (half+1)-patch sample yields the center patch AND both central-
+    # difference gradients (identical numerics to sampling at ±1 px — the
+    # sample grid is integer offsets of the same fractional position)
     xc_ref = T_ref.apply(points_w)
     uv_ref = project(xc_ref)
-    coords_ref = uv_ref[:, None, None, :] + grid[None]
-    P_ref, ref_in = bilinear_sample(img_ref, coords_ref, clamp=True)
-    ex = jnp.zeros((2,), jnp.float32).at[0].set(0.5)
-    ey = jnp.zeros((2,), jnp.float32).at[1].set(0.5)
-    gx = (bilinear_sample(img_ref, coords_ref + 2 * ex, clamp=True)[0]
-          - bilinear_sample(img_ref, coords_ref - 2 * ex, clamp=True)[0]) * 0.5
-    gy = (bilinear_sample(img_ref, coords_ref + 2 * ey, clamp=True)[0]
-          - bilinear_sample(img_ref, coords_ref - 2 * ey, clamp=True)[0]) * 0.5
+    P_big = _sample_patches(img_ref, uv_ref, half_patch + 1)  # [N, W+2, W+2]
+    P_ref = P_big[:, 1:-1, 1:-1]
+    gx = (P_big[:, 1:-1, 2:] - P_big[:, 1:-1, :-2]) * 0.5
+    gy = (P_big[:, 2:, 1:-1] - P_big[:, :-2, 1:-1]) * 0.5
 
-    use = valid & (xc_ref[..., 2] > 1e-3) & jnp.all(ref_in, axis=(-2, -1))
+    h_ref, w_ref = img_ref.shape
+    m = float(half_patch)
+    ref_in = (uv_ref[:, 0] >= m) & (uv_ref[:, 0] <= w_ref - 1 - m) \
+        & (uv_ref[:, 1] >= m) & (uv_ref[:, 1] <= h_ref - 1 - m)
+    use = valid & (xc_ref[..., 2] > 1e-3) & ref_in
     w = use.astype(jnp.float32)
 
     def residual_system(T: SE3):
         """Return (H [6,6], b [6], cost) for the current pose estimate."""
         xc = T.apply(points_w)                   # [N, 3]
         uv = project(xc)
-        coords = uv[:, None, None, :] + grid[None]
-        I, cur_in = bilinear_sample(img_cur, coords, clamp=True)
+        I = _sample_patches(img_cur, uv, half_patch)
         r = (I - P_ref)                           # [N, P, P]
         in_front = (xc[..., 2] > 1e-3)
         wi = w * in_front.astype(jnp.float32)
@@ -119,20 +139,28 @@ def sparse_align(img_ref: jnp.ndarray, img_cur: jnp.ndarray,
         return H, b, cost
 
     def body(_, state):
-        T, lam, best = state
-        H, b, cost = residual_system(T)
+        """LM with system reuse: (H, b, cost) are the normal equations AT
+        the current best pose, so each iteration pays ONE residual_system
+        evaluation — the trial evaluation doubles as the next iteration's
+        linearization when the step is accepted. (The previous two-eval
+        formulation cost ~16 ms/frame in-scan on a v5e; this halves it.)"""
+        T_best, lam, H, b, best = state
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
-        delta = jnp.linalg.solve(Hd, b)
-        T_new = (SE3.exp(delta) @ T).normalize()
-        _, _, new_cost = residual_system(T_new)
+        delta = chol_solve_small(Hd, b)
+        T_new = (SE3.exp(delta) @ T_best).normalize()
+        H_new, b_new, new_cost = residual_system(T_new)
         ok = (new_cost < best) & jnp.isfinite(new_cost)
-        T_next = jax.tree.map(lambda a, b_: jnp.where(ok, b_, a), T, T_new)
+        T_next = jax.tree.map(lambda a, b_: jnp.where(ok, b_, a),
+                              T_best, T_new)
+        H2 = jnp.where(ok, H_new, H)
+        b2 = jnp.where(ok, b_new, b)
         lam2 = jnp.where(ok, jnp.maximum(lam / 2.0, 1e-8),
                          jnp.minimum(lam * 4.0, 1e4))
-        return T_next, lam2, jnp.where(ok, new_cost, best)
+        return T_next, lam2, H2, b2, jnp.where(ok, new_cost, best)
 
-    _, _, cost0 = residual_system(T_init)
-    T_fin, _, cost_fin = jax.lax.fori_loop(
-        0, iters, body, (T_init, jnp.asarray(1e-3, jnp.float32), cost0))
+    H0, b0, cost0 = residual_system(T_init)
+    T_fin, _, _, _, cost_fin = jax.lax.fori_loop(
+        0, iters, body,
+        (T_init, jnp.asarray(1e-3, jnp.float32), H0, b0, cost0))
     return AlignResult(T=T_fin, cost0=cost0, cost=cost_fin,
                        n_used=jnp.sum(use.astype(jnp.int32)))

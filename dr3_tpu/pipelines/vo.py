@@ -87,10 +87,11 @@ def _track(pyr_prev, pyr_cur, tracks: TrackState, cfg: Config):
     pos = res.pos
     if cfg.feature_align:
         # drift-free refinement against keyframe templates (SVO
-        # 'feature_align'; templates refresh at keyframe creation)
-        ref = lk.align_to_templates(pyr_cur[0], tracks.ref_patch, pos,
-                                    res.ok & tracks.valid,
-                                    iters=cfg.feature_align_iters)
+        # 'feature_align'; templates refresh at keyframe creation). Auto
+        # backend: Pallas template-atlas kernel on TPU, jnp elsewhere.
+        ref = lk.align_to_templates_auto(pyr_cur[0], tracks.ref_patch, pos,
+                                         res.ok & tracks.valid,
+                                         iters=cfg.feature_align_iters)
         pos = ref.pos
     return tracks._replace(px=pos, valid=tracks.valid & res.ok,
                            age=tracks.age + 1), res
@@ -586,6 +587,29 @@ def _corrected_window_poses(kf_wxyz, kf_t, kf_fid, kf_valid, old_fid,
 
 
 @jax.jit
+def _apply_closure_step(kfs: KeyframeState, map_xyz, map_valid, db,
+                        new_wxyz, new_t, my_slot, old_fid, old_valid):
+    """EVERYTHING device-side of applying a verified loop closure as ONE
+    program: rigid world correction of the map, exact/fallback window-pose
+    propagation, database pose+landmark transport, and the corrected pose
+    matrices the host needs for the trajectory rewrite — one dispatch + one
+    fetch per closure instead of ~6 (at ~25 ms relay each, closures were
+    the dominant cost of loop-heavy sequences)."""
+    from dr3_tpu.pipelines import loop_closure as lc
+
+    poses_new = SE3(new_wxyz, new_t)
+    G = lc.world_correction(SE3(db.wxyz[my_slot], db.t[my_slot]),
+                            poses_new[my_slot])
+    xyz2 = lc.apply_correction_points(G, map_xyz, map_valid)
+    wxyz, t = _corrected_window_poses(kfs.wxyz, kfs.t, kfs.frame_id,
+                                      kfs.valid, old_fid, old_valid,
+                                      new_wxyz, new_t, G.wxyz, G.t)
+    kfs2 = kfs._replace(wxyz=wxyz, t=t)
+    db2 = lc.apply_correction_db(db, poses_new)
+    return kfs2, xyz2, db2, poses_new.matrix()
+
+
+@jax.jit
 def _snapshot_kf_step(kfs: KeyframeState, tracks: TrackState, T_cur: SE3,
                       slot, frame_id) -> KeyframeState:
     """Write pose + track-table snapshot into keyframe slot ``slot``."""
@@ -647,7 +671,9 @@ def _local_ba(kfs: KeyframeState, map_state: MapState, intr, dist,
     """Single-device sliding-window BA from keyframe snapshots."""
     prob = _window_problem(kfs, map_state, intr, dist)
     res = bundle_adjust(prob, max_iters, cfg.ba_huber_delta,
-                        cfg.ba_jacobi_scaling, cfg.ba_lambda0)
+                        cfg.ba_jacobi_scaling, cfg.ba_lambda0,
+                        solver=cfg.ba_solver, cg_iters=cfg.ba_cg_iters,
+                        cg_tol=cfg.ba_cg_tol, q_eta=cfg.ba_q_eta)
     kfs2 = kfs._replace(wxyz=res.problem.cam_wxyz, t=res.problem.cam_t)
     # only observed points moved; masked updates keep the rest
     map2 = map_state._replace(xyz=res.problem.points)
@@ -721,6 +747,7 @@ class MonoVO:
         self.n_relocalizations = 0
         self.n_loop_closures = 0
         self.n_compactions = 0
+        self.n_db_compactions = 0
         self._reset_init()
 
     def _reset_init(self):
@@ -1285,6 +1312,7 @@ class MonoVO:
         new_db, old2new, n_keep = lc.db_compact(self.loop_db,
                                                 jnp.asarray(keep))
         self.loop_db = new_db
+        self.n_db_compactions += 1
         o2n = np.array(old2new)
         # remap accepted loop edges; edges touching an evicted keyframe
         # are dropped (their correction already lives in the poses)
@@ -1365,13 +1393,17 @@ class MonoVO:
             db, jnp.asarray(li), jnp.asarray(lj), jnp.asarray(lq),
             jnp.asarray(lt), jnp.asarray(lw), cfg.loop_pgo_iters)
 
-        # rigid world remap from the current keyframe's correction; the next
-        # local BA re-settles the window on top of it
-        G = lc.world_correction(
-            SE3(db.wxyz[my_slot], db.t[my_slot]), poses_new[my_slot])
-        self.map = self.map._replace(
-            xyz=lc.apply_correction_points(G, self.map.xyz, self.map.valid))
-        self._apply_db_poses(old_fid, old_valid, old_mats, poses_new, my_slot)
+        # ONE fused device program applies the correction everywhere (map
+        # rigid remap, window poses, database transport); the next local BA
+        # re-settles the window on top of it
+        self.kfs, xyz2, self.loop_db, new_mats = _apply_closure_step(
+            self.kfs, self.map.xyz, self.map.valid, db,
+            poses_new.wxyz, poses_new.t, jnp.asarray(my_slot, jnp.int32),
+            jnp.asarray(old_fid), jnp.asarray(old_valid))
+        self.map = self.map._replace(xyz=xyz2)
+        self.T_cur = poses_new[my_slot]
+        self._correct_trajectory(old_fid, old_valid, old_mats,
+                                 np.asarray(new_mats))  # one fetch
         self.last_loop_kf = self.kf_count
         self.n_loop_closures += 1
 

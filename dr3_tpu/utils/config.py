@@ -118,6 +118,16 @@ class Config:
     ba_lambda0: float = 1e-3
     ba_huber_delta: float = 5.0     # px, robust loss scale
     ba_jacobi_scaling: bool = True  # fixes reference's Cholesky failures
+    ba_solver: str = "pcg"          # window-BA Schur solve: "pcg" (matrix-
+                                    # free + SCHUR_JACOBI, loose Q-stagnation
+                                    # forcing — the in-loop default: each
+                                    # keyframe re-optimizes an overlapping
+                                    # window, so LM absorbs step inexactness)
+                                    # | "explicit" | "auto"
+    ba_cg_iters: int = 64           # CG iteration cap (pcg only)
+    ba_cg_tol: float = 1e-2         # CG residual tolerance (pcg only)
+    ba_q_eta: float = 0.1           # Ceres-style Q-stagnation forcing; 0
+                                    # disables (near-exact steps)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

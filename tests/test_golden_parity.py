@@ -100,18 +100,65 @@ def test_golden_stitch_other_sets(pair, golden, min_ncc):
     assert ncc_vs_golden(out, gold) > min_ncc
 
 
+def _translation_aligned_regions(ours: np.ndarray, gold: np.ndarray):
+    """Translation-align ours onto the golden (FFT cross-correlation — the
+    canvases share image 1's frame, so they differ by the bbox translation
+    only) and return (global NCC, [4 quarter-column NCCs] left->right)."""
+    ou, go = _gray(ours), _gray(gold)
+    H = min(ou.shape[0], go.shape[0])
+    W = min(ou.shape[1], go.shape[1])
+    a = ou[:H, :W] - ou[:H, :W].mean()
+    g = go[:H, :W] - go[:H, :W].mean()
+    cc = np.fft.irfft2(np.fft.rfft2(a) * np.conj(np.fft.rfft2(g)), s=(H, W))
+    sy, sx = np.unravel_index(np.argmax(cc), cc.shape)
+    dy = sy if sy < H // 2 else sy - H
+    dx = sx if sx < W // 2 else sx - W
+    oy0, gy0 = max(dy, 0), max(-dy, 0)
+    ox0, gx0 = max(dx, 0), max(-dx, 0)
+    hh = min(ou.shape[0] - oy0, go.shape[0] - gy0)
+    ww = min(ou.shape[1] - ox0, go.shape[1] - gx0)
+    o = ou[oy0:oy0 + hh, ox0:ox0 + ww]
+    g2 = go[gy0:gy0 + hh, gx0:gx0 + ww]
+
+    def ncc(x, y):
+        x = x - x.mean()
+        y = y - y.mean()
+        d = np.linalg.norm(x) * np.linalg.norm(y)
+        return float((x * y).sum() / d) if d > 0 else 0.0
+
+    quarters = [ncc(o[:, k * ww // 4:(k + 1) * ww // 4],
+                    g2[:, k * ww // 4:(k + 1) * ww // 4]) for k in range(4)]
+    return ncc(o, g2), quarters
+
+
 @pytest.mark.slow
 def test_golden_panorama_yosemite_normal():
     """4-image projective panorama vs imgs/results/panorama/
-    yosemite_normal.jpg. The projective chain amplifies per-pair
-    differences toward the canvas edges (calibrated NCC 0.61), so the gate
-    is looser than the pairwise stitches."""
+    yosemite_normal.jpg — compared TRANSLATION-ALIGNED (both canvases are
+    in image 1's frame; whole-canvas resize misregisters everything
+    because the bboxes differ).
+
+    Round-4 analysis of the old NCC-0.61 gate: aligned, the quarters read
+    0.998 / 0.981 / 0.80 / 0.29 left->right — images 1-3 match the golden
+    essentially pixel-for-pixel and the divergence is the 4th image's
+    projective tail, where small pairwise-H differences amplify with
+    distance from the chain anchor (local displacement grows smoothly 0 ->
+    ~25 px across the canvas). Our H_34 aligns the raw pair 3-4 at
+    photometric NCC 0.967 (near-optimal), our estimator is seed-invariant,
+    and both pairwise goldens we have (y12/y23) match at 0.94-0.97 — the
+    tail is a different-but-equally-valid draw of the reference's UNSEEDED
+    500-iteration RANSAC, not a defect, so exact tail parity is not an
+    achievable target. Gates: left half >= 0.95 (exact-placement parity),
+    aligned global >= 0.75 (calibrated 0.81)."""
     from dr3_tpu.pipelines.panorama import Panorama
 
     out = Panorama(feathering_width=40).process_dir(f"{R}/yosemite")
     gold = _load(f"{R}/results/panorama/yosemite_normal.jpg")
     _dims_close(out, gold, 0.12)
-    assert ncc_vs_golden(out, gold) > 0.5
+    g_ncc, quarters = _translation_aligned_regions(np.asarray(out), gold)
+    assert quarters[0] > 0.95, quarters
+    assert quarters[1] > 0.95, quarters
+    assert g_ncc > 0.75, (g_ncc, quarters)
 
 
 @pytest.mark.slow

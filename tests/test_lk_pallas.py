@@ -78,3 +78,67 @@ def test_pallas_nonfinite_positions_safe(rng):
     ok = np.asarray(res.ok)
     assert not ok[:3].any()   # garbage slots are rejected
     assert ok[4:].mean() > 0.8  # healthy tracks still track
+
+
+def test_template_atlas_layout(rng):
+    """Every atlas cell must hold its template exactly at the stated
+    center, edge-replicated to the cell borders."""
+    n, W = 7, 9
+    t = rng.uniform(0, 1, (n, W, W)).astype(np.float32)
+    atlas, centers = lk.template_atlas(jnp.asarray(t))
+    a = np.asarray(atlas)
+    c = np.asarray(centers)
+    half = (W - 1) // 2
+    for i in range(n):
+        cx, cy = int(c[i, 0]), int(c[i, 1])
+        patch = a[cy - half:cy + half + 1, cx - half:cx + half + 1]
+        np.testing.assert_allclose(patch, t[i], atol=0)
+        # edge replication just outside the patch
+        np.testing.assert_allclose(a[cy - half - 1, cx - half:cx + half + 1],
+                                   t[i][0], atol=0)
+
+
+def test_atlas_align_matches_jnp_align(rng):
+    """The Pallas template-atlas feature_align (interpreter mode) must
+    recover template positions like the jnp align_to_templates path."""
+    from dr3_tpu.ops.pallas.lk_pallas import track_level_pallas
+
+    img = smooth(rng, 160, 192, sigma=2.0)
+    true = np.stack(np.meshgrid(np.arange(40, 150, 18), np.arange(40, 120, 18)),
+                    -1).reshape(-1, 2).astype(np.float32)
+    templates = lk.extract_patches(jnp.asarray(img), jnp.asarray(true), 4)
+    start = true + rng.uniform(-2.0, 2.0, true.shape).astype(np.float32)
+    v = jnp.ones(len(true), bool)
+
+    ref = lk.align_to_templates(jnp.asarray(img), templates,
+                                jnp.asarray(start), v, iters=10)
+    atlas, centers = lk.template_atlas(templates)
+    pos, ok, err = track_level_pallas(atlas, jnp.asarray(img), centers,
+                                      jnp.asarray(start), half_window=4,
+                                      iters=10, min_eig=0.0, interpret=True)
+    ok = np.asarray(ok) & np.asarray(ref.ok)
+    assert ok.mean() > 0.8
+    # both refine back to the true corner
+    e_pal = np.abs(np.asarray(pos)[ok] - true[ok]).max()
+    e_jnp = np.abs(np.asarray(ref.pos)[ok] - true[ok]).max()
+    assert e_pal < 0.2, e_pal
+    assert e_jnp < 0.2, e_jnp
+
+
+def test_sample_patches_pallas_matches_bilinear(rng):
+    from dr3_tpu.ops.pallas.lk_pallas import sample_patches_pallas
+    from dr3_tpu.ops.warp import bilinear_sample
+
+    img = smooth(rng, 96, 160, sigma=1.5)
+    pts = rng.uniform([6, 6], [150, 90], (23, 2)).astype(np.float32)
+    for half in (2, 3):
+        got = np.asarray(sample_patches_pallas(jnp.asarray(img),
+                                               jnp.asarray(pts), half,
+                                               True))
+        off = np.arange(-half, half + 1, dtype=np.float32)
+        oy, ox = np.meshgrid(off, off, indexing="ij")
+        grid = np.stack([ox, oy], -1)
+        coords = pts[:, None, None, :] + grid[None]
+        want = np.asarray(bilinear_sample(jnp.asarray(img),
+                                          jnp.asarray(coords), clamp=True)[0])
+        np.testing.assert_allclose(got, want, atol=1e-5)
