@@ -215,7 +215,11 @@ def _bench_pipeline(jax, jnp):
         return None
     palindrome = base + base[-2:0:-1]
 
-    n_total = int(os.environ.get("BENCH_PIPELINE_FRAMES", "260"))
+    n_total = int(os.environ.get("BENCH_PIPELINE_FRAMES", "420"))
+    # pre-quantize once: the scan ships uint8 (lossless for 8-bit PNGs) and
+    # per-batch float->uint8 conversion would otherwise cost ~2 ms/frame
+    palindrome = [np.clip(f * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+                  for f in palindrome]
     frames = [palindrome[i % len(palindrome)] for i in range(n_total)]
 
     # every flagship stage ON at the SHIPPED defaults, with two overrides
@@ -226,7 +230,7 @@ def _bench_pipeline(jax, jnp):
     # exercised (and warmed) within the run. uint8 transfer is lossless
     # for the 8-bit PNGs.
     cfg = Config(loop_min_gap_frames=20, loop_db_capacity=24,
-                 frames_per_dispatch=int(os.environ.get("BENCH_BATCH", "8")),
+                 frames_per_dispatch=int(os.environ.get("BENCH_BATCH", "16")),
                  scan_transfer_uint8=True)
     vo = MonoVO(Pinhole.kitti(), cfg)
     # warmup must cover EVERY program (bootstrap, the scan loop incl. its

@@ -800,7 +800,10 @@ class MonoVO:
 
     # -- stages -----------------------------------------------------------
     def process(self, img: np.ndarray) -> np.ndarray:
-        """Add one grayscale frame [H, W] in [0,1]; returns T_f_w 4x4."""
+        """Add one grayscale frame [H, W] in [0,1] (or uint8, converted);
+        returns T_f_w 4x4."""
+        if isinstance(img, np.ndarray) and img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
         self.frame_idx += 1
         cfg = self.cfg
         self.monitor.tic("global")
@@ -862,23 +865,50 @@ class MonoVO:
         """
         out: list[np.ndarray] = []
         i, n = 0, len(imgs)
-        scan_ok = (self.cfg.frames_per_dispatch > 1 and self.mesh is None
-                   and self.cfg.fused_frontend)
-        while i < n:
-            if (not scan_ok or self.stage is not Stage.GENERAL
-                    or self.pyr_prev is None):
+        N = self.cfg.frames_per_dispatch
+        scan_ok = (N > 1 and self.mesh is None and self.cfg.fused_frontend)
+        inflight = None  # (start, n_valid, carry, ys) of a dispatched scan
+        while i < n or inflight is not None:
+            if inflight is None and (not scan_ok
+                                     or self.stage is not Stage.GENERAL
+                                     or self.pyr_prev is None):
                 out.append(self.process(imgs[i]))
                 i += 1
                 continue
-            consumed, mats = self._process_scan(imgs[i:i
-                                                     + self.cfg.frames_per_dispatch])
+            if inflight is None:
+                inflight = (i,) + self._dispatch_scan(imgs[i:i + N])
+            start, nv, carry, ys = inflight
+            # the final carry is ALWAYS the correct post-batch baseline
+            # (event frames stop the scan right after their general step),
+            # so adopt it and SPECULATIVELY dispatch the next batch before
+            # fetching this batch's rows: the device executes the next
+            # batch while the ~50-300 ms relay fetch round-trip is in
+            # flight. Events are rare (keyframes stay in-scan; only
+            # relocalize/capacity/loop-closure stop a batch), so the
+            # speculation almost always commits; on an event it is
+            # discarded and its frames resubmitted from the corrected
+            # state — one wasted batch of device compute per event.
+            self._adopt_carry(carry)
+            nxt = start + nv
+            spec = None
+            if nxt < n:
+                spec = (nxt,) + self._dispatch_scan(imgs[nxt:nxt + N],
+                                                    carry=carry)
+            self.monitor.tic("scan_fetch")
+            rows = np.asarray(ys)  # the ONE device->host sync per batch
+            self.monitor.toc("scan_fetch")
+            consumed, mats, clean = self._consume_rows(rows)
             out.extend(mats)
-            i += consumed
+            i = start + consumed
+            inflight = spec if (clean and consumed == nv) else None
         return out
 
-    def _process_scan(self, batch) -> tuple[int, list[np.ndarray]]:
-        """One scan dispatch over up to frames_per_dispatch frames; returns
-        (frames consumed, their global trajectory matrices)."""
+    def _dispatch_scan(self, batch, carry=None):
+        """Dispatch (without fetching) one scan over up to
+        frames_per_dispatch frames. ``carry``: chain directly off a prior
+        batch's final carry (device scalars included) instead of host
+        state — the speculative-pipelining path. Returns
+        (n_valid, carry, ys) with ys un-fetched."""
         cfg = self.cfg
         N = cfg.frames_per_dispatch
         n_valid = len(batch)
@@ -887,40 +917,69 @@ class MonoVO:
             frames += [np.zeros_like(np.asarray(frames[0]))] * (N - n_valid)
         if cfg.scan_transfer_uint8:
             stack = jnp.asarray(np.stack(
-                [np.clip(np.asarray(f) * 255.0 + 0.5, 0.0, 255.0)
+                [f if isinstance(f, np.ndarray) and f.dtype == np.uint8
+                 else np.clip(np.asarray(f) * 255.0 + 0.5, 0.0, 255.0)
                  .astype(np.uint8) for f in frames]))
         else:
             stack = jnp.asarray(np.stack(
                 [np.asarray(f, np.float32) for f in frames]))
 
-        self.monitor.tic("scan_step")
-        carry, ys = _scan_frames(
+        if carry is not None:
+            (pyr, tr, kf, mp, db, Tw, Tt, fidx, kfc, pc, dbc, lkt, lost,
+             _done) = carry
+            state = (tuple(pyr), tr, kf, mp, db, SE3(Tw, Tt), self.T_anchor,
+                     fidx, kfc, pc, dbc, lkt, lost)
+        else:
+            state = (tuple(self.pyr_prev), self.tracks, self.kfs, self.map,
+                     self.loop_db, self.T_cur, self.T_anchor,
+                     jnp.asarray(self.frame_idx + 1, jnp.int32),
+                     jnp.asarray(self.kf_count, jnp.int32),
+                     jnp.asarray(self.point_cursor, jnp.int32),
+                     jnp.asarray(self.db_cursor, jnp.int32),
+                     jnp.asarray(self.last_kf_tracked, jnp.int32),
+                     jnp.asarray(self.lost_count, jnp.int32))
+        self.monitor.tic("scan_dispatch")
+        new_carry, ys = _scan_frames(
             cfg, (self.cam.height, self.cam.width), stack,
-            jnp.asarray(n_valid, jnp.int32), tuple(self.pyr_prev),
-            self.tracks, self.kfs, self.map, self.loop_db, self.T_cur,
-            self.T_anchor, jnp.asarray(self.frame_idx + 1, jnp.int32),
-            jnp.asarray(self.kf_count, jnp.int32),
-            jnp.asarray(self.point_cursor, jnp.int32),
-            jnp.asarray(self.db_cursor, jnp.int32),
-            jnp.asarray(self.last_kf_tracked, jnp.int32),
-            jnp.asarray(self.lost_count, jnp.int32),
+            jnp.asarray(n_valid, jnp.int32), *state,
             jnp.asarray(self.last_loop_kf, jnp.int32),
             jnp.asarray(len(self.loop_edges), jnp.int32), self.cam)
-        rows = np.asarray(ys)  # the ONE device->host fetch per batch
-        self.monitor.toc("scan_step")
+        self.monitor.toc("scan_dispatch")
+        return n_valid, new_carry, ys
 
-        # adopt the final device state (no fetch: these stay device arrays)
+    def _adopt_carry(self, carry):
+        """Point driver state at a scan's final carry (device refs only —
+        no fetch)."""
         (pyr, tr, kf, mp, db, Tw, Tt, *_rest) = carry
         self.pyr_prev = list(pyr)
         self.tracks = tr
         self.kfs = kf
         self.map = mp
-        if cfg.loop_closure:
+        if self.cfg.loop_closure:
             self.loop_db = db
         self.T_cur = SE3(Tw, Tt)
 
+    def _process_scan(self, batch) -> tuple[int, list[np.ndarray]]:
+        """One non-speculative scan dispatch + fetch; returns
+        (frames consumed, their global trajectory matrices)."""
+        _nv, carry, ys = self._dispatch_scan(batch)
+        self._adopt_carry(carry)
+        self.monitor.tic("scan_fetch")
+        rows = np.asarray(ys)
+        self.monitor.toc("scan_fetch")
+        consumed, mats_out, _clean = self._consume_rows(rows)
+        return consumed, mats_out
+
+    def _consume_rows(self, rows) -> tuple[int, list[np.ndarray], bool]:
+        """Apply the host-side bookkeeping for one fetched row block:
+        stats/trajectory per consumed frame, host counter mirrors, and any
+        trailing event (relocalize / host keyframe / loop-closure finish).
+        Returns (consumed, trajectory mats, clean) — clean means no event
+        fired, so a speculative next batch may commit."""
+        cfg = self.cfg
         mats_out: list[np.ndarray] = []
         consumed = 0
+        clean = True
         for r in rows:
             if r[_ROW_CONSUMED] < 0.5:
                 break
@@ -940,6 +999,7 @@ class MonoVO:
                 mats = r[_ROW_MATS:_ROW_MATS + 32].reshape(2, 4, 4).copy()
                 self._log_stats("general", n_tracked, n_inl, is_kf)
             elif reason == _REASON_RELOC:
+                clean = False
                 self._relocalize()
                 self._log_stats("relocalize", 0, 0, False)
                 mats = np.asarray(_traj_mats(
@@ -948,12 +1008,14 @@ class MonoVO:
             elif reason == _REASON_HOST_KF:
                 # capacity event: the fused general step already ran on
                 # device; the host does the keyframe (incl. compaction)
+                clean = False
                 self._make_keyframe(self.pyr_prev)
                 self._log_stats("general", n_tracked, n_inl, True)
                 mats = np.asarray(_traj_mats(
                     self.T_cur.wxyz, self.T_cur.t, self.T_anchor.wxyz,
                     self.T_anchor.t))
             else:  # _REASON_LOOP_CAND
+                clean = False
                 self._finish_loop_candidate(int(r[_ROW_SLOT]),
                                             int(r[_ROW_CAND]))
                 self._log_stats("general", n_tracked, n_inl, True)
@@ -963,7 +1025,7 @@ class MonoVO:
             self.trajectory.append(mats[0])
             self._traj_local.append(mats[1])
             mats_out.append(mats[0])
-        return consumed, mats_out
+        return consumed, mats_out, clean
 
     def _finish_loop_candidate(self, slot: int, cand: int):
         """Complete a keyframe whose in-scan place-recognition query hit:

@@ -69,7 +69,7 @@ class Config:
                                      # per frame instead of four. False
                                      # restores per-stage dispatch with
                                      # per-stage Monitor timers (profiling).
-    frames_per_dispatch: int = 8     # MonoVO.process_batch scan width: the
+    frames_per_dispatch: int = 16    # MonoVO.process_batch scan width: the
                                      # device-resident frame loop consumes
                                      # up to this many frames (general AND
                                      # keyframe work incl. window BA) per
