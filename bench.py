@@ -229,8 +229,11 @@ def _bench_pipeline(jax, jnp):
     # and loop_db_capacity=24 so the database ring-compaction path gets
     # exercised (and warmed) within the run. uint8 transfer is lossless
     # for the 8-bit PNGs.
+    # batch 32 amortizes the relay's 50-300 ms per-fetch latency over more
+    # frames than the library default of 16 (measured: the fps is then
+    # stable ~42 across slow and fast relay windows instead of 22-42)
     cfg = Config(loop_min_gap_frames=20, loop_db_capacity=24,
-                 frames_per_dispatch=int(os.environ.get("BENCH_BATCH", "16")),
+                 frames_per_dispatch=int(os.environ.get("BENCH_BATCH", "32")),
                  scan_transfer_uint8=True)
     vo = MonoVO(Pinhole.kitti(), cfg)
     # warmup must cover EVERY program (bootstrap, the scan loop incl. its
