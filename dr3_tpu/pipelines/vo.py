@@ -24,6 +24,18 @@ Architecture: all per-frame compute is jitted with static shapes (track
 table = one slot per detection cell; keyframe ring; masked map); the Python
 layer only sequences stages and holds cursors — the reference's pointer
 surgery becomes functional array updates.
+
+Round 4 moved the WHOLE frame loop on device: `MonoVO.process_batch` runs
+up to ``Config.frames_per_dispatch`` frames per dispatch through
+``_scan_frames`` — one ``lax.scan`` whose body is the fused general step
+plus the complete keyframe path (ring eviction, triangulation + spawning,
+snapshot, loop-database insert + place-recognition query, sliding-window
+BA). The host handles only bootstrap, relocalization, capacity
+compaction, and loop-closure verification/correction (scan early-outs),
+and hides the relay's per-fetch latency by speculatively dispatching the
+next batch from the current batch's final carry before fetching its rows.
+`process` remains the per-frame reference implementation; equivalence is
+pinned by tests/test_vo_scan.py.
 """
 
 from __future__ import annotations

@@ -37,10 +37,16 @@ def main(argv=None):
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--resume", default=None, help="checkpoint path to resume")
     ap.add_argument("--loop-closure", action="store_true",
-                    help="enable place recognition + pose-graph closure")
+                    help="(default since round 4; kept for compatibility)")
+    ap.add_argument("--no-loop-closure", action="store_true",
+                    help="disable place recognition + pose-graph closure")
     ap.add_argument("--global-ba", action="store_true",
                     help="offline global BA over all keyframes after the run "
-                         "(implies --loop-closure)")
+                         "(implies loop closure)")
+    ap.add_argument("--batch", type=int, default=16,
+                    help="frames per device dispatch (device-resident scan "
+                         "loop with speculative pipelining; 1 = per-frame "
+                         "with per-frame stats printing)")
     args, unknown = ap.parse_known_args(argv)
 
 
@@ -59,6 +65,9 @@ def main(argv=None):
     cfg = Config.from_cli(unknown)  # --cell_size=30 style overrides
     if args.loop_closure or args.global_ba:
         cfg = cfg.replace(loop_closure=True)
+    if args.no_loop_closure and not args.global_ba:
+        cfg = cfg.replace(loop_closure=False)
+    cfg = cfg.replace(frames_per_dispatch=args.batch)
     seq = open_sequence(args.seq) if args.seq else open_fixture_sequence()
     mesh = None
     if args.distributed:
@@ -80,18 +89,40 @@ def main(argv=None):
         load_vo(args.resume, vo)
 
     os.makedirs(args.out, exist_ok=True)
+    batched = args.batch > 1 and mesh is None
+    chunk: list = []
+
+    def flush_chunk():
+        if not chunk:
+            return
+        n0 = len(vo.stats)
+        vo.process_batch(chunk)
+        for s in vo.stats[n0:]:
+            print(f"[{s.frame_id:05d}] {s.stage:<10} "
+                  f"tracked={s.n_tracked:4d} inliers={s.n_inliers:4d} "
+                  f"kf={int(s.is_keyframe)} map={s.n_map_points}",
+                  flush=True)
+        chunk.clear()
+
     for i, frame in enumerate(seq):
         if args.max_frames and i >= args.max_frames:
             break
-        vo.process(frame)
-        s = vo.stats[-1]
-        print(f"[{i:05d}] {s.stage:<10} tracked={s.n_tracked:4d} "
-              f"inliers={s.n_inliers:4d} kf={int(s.is_keyframe)} "
-              f"map={s.n_map_points}", flush=True)
+        if batched:
+            chunk.append(frame)
+            if len(chunk) >= 4 * args.batch:
+                flush_chunk()
+        else:
+            vo.process(frame)
+            s = vo.stats[-1]
+            print(f"[{i:05d}] {s.stage:<10} tracked={s.n_tracked:4d} "
+                  f"inliers={s.n_inliers:4d} kf={int(s.is_keyframe)} "
+                  f"map={s.n_map_points}", flush=True)
         if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            flush_chunk()
             from dr3_tpu.io.checkpoint import save_vo
 
             save_vo(os.path.join(args.out, "checkpoint"), vo)
+    flush_chunk()
 
     if args.global_ba:
         costs = vo.global_refine()
