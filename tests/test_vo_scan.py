@@ -117,3 +117,32 @@ def test_scan_uint8_transfer(rng):
     vo_f = _run(frames, cfg_f, batched=True)
     vo_u = _run(frames, cfg_u, batched=True)
     _assert_equivalent(vo_f, vo_u, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_scan_exposure_perturbation_survives(rng):
+    """Failure-mode stress (round-3 verdict weak item 6): a mid-sequence
+    exposure excursion — gain ramps to 0.65x with a +0.08 offset over 4
+    frames, holds, returns — must not break tracking. Intensity-based LK
+    degrades under gain change, but the err gates + geometric pose GN keep
+    the pipeline in GENERAL without relocalizing, and the out-and-back
+    still closes its loop."""
+    from dr3_tpu.pipelines.vo import MonoVO, Stage
+
+    frames = list(_out_and_back_frames(rng, half=14))
+    for k in range(10, 22):
+        ramp = min(1.0, (k - 10) / 4.0) if k < 18 else max(0.0, (21 - k) / 3.0)
+        g, b = 1.0 - 0.35 * ramp, 0.08 * ramp
+        frames[k] = np.clip(frames[k] * g + b, 0.0, 1.0).astype(np.float32)
+
+    cfg = Config(**_BASE, frames_per_dispatch=4)
+    vo = MonoVO(_cam(), cfg)
+    vo.process_batch(frames)
+    assert vo.stage is Stage.GENERAL
+    assert vo.n_relocalizations == 0
+    assert vo.n_loop_closures >= 1
+    p = vo.positions()
+    assert np.all(np.isfinite(p))
+    # out-and-back: the (scale-free) end position returns near the start
+    extent = np.linalg.norm(p, axis=1).max()
+    assert np.linalg.norm(p[-1] - p[0]) < 0.2 * max(extent, 1e-6)
