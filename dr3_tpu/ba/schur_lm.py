@@ -70,12 +70,13 @@ def _params_finite(p: BAProblem) -> jnp.ndarray:
 def _solve_once(p: BAProblem, lam, huber_delta: float, jacobi: bool,
                 optimize_intrinsics: bool, method: str, d_max: int,
                 cg_iters: int, cg_tol: float = 1e-5, q_eta: float = 0.0,
-                res=None):
+                res=None, cam_onehot=None):
     if res is None:
         res = linearize(p, huber_delta, with_intrinsics=optimize_intrinsics)
     active = (p.obs_w > 0) & res.valid
     blocks = assemble_blocks(res.r, res.Jc, res.Jp, p.obs_cam, p.obs_pt,
-                             active, p.n_cams, p.n_points, Jg=res.Jg)
+                             active, p.n_cams, p.n_points, Jg=res.Jg,
+                             cam_onehot=cam_onehot)
     dc, dp, dg = solve_schur(blocks, lam, p.cam_fixed, method=method,
                              d_max=d_max, jacobi=jacobi, cg_iters=cg_iters,
                              cg_tol=cg_tol, q_eta=q_eta)
@@ -109,12 +110,19 @@ def bundle_adjust(problem: BAProblem, max_iters: int = 20,
     res0 = linearize(problem, huber_delta,
                      with_intrinsics=optimize_intrinsics)
     cost0 = res0.cost
+    # camera one-hot built once, reused every iteration (see assemble_blocks)
+    E = None
+    if problem.n_obs * problem.n_cams <= 256 * 1024 * 1024:
+        from dr3_tpu.ba.schur_core import cam_onehot_matrix
+
+        E = cam_onehot_matrix(problem.obs_cam, problem.n_cams)
 
     def body(_, state):
         p, res, lam, best_cost, n_acc = state
         cost, p_new = _solve_once(p, lam, huber_delta, jacobi,
                                   optimize_intrinsics, method, d_max,
-                                  cg_iters, cg_tol, q_eta, res=res)
+                                  cg_iters, cg_tol, q_eta, res=res,
+                                  cam_onehot=E)
         res_new = linearize(p_new, huber_delta,
                             with_intrinsics=optimize_intrinsics)
         new_cost = res_new.cost

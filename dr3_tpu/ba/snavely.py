@@ -260,12 +260,20 @@ def bundle_adjust_snavely(problem: SnavelyProblem, max_iters: int = 30,
         d_max = min(problem.n_cams, problem.n_obs)
     cost0 = residual_cost(problem, huber_delta)
 
+    # camera one-hot for MXU-shaped normal-equation reductions, built ONCE
+    # and reused every LM iteration (obs_cam is constant across the loop)
+    E = None
+    if problem.n_obs * problem.n_cams <= 256 * 1024 * 1024:
+        from dr3_tpu.ba.schur_core import cam_onehot_matrix
+
+        E = cam_onehot_matrix(problem.obs_cam, problem.n_cams)
+
     def body(_, state):
         p, lam, best_cost, n_acc = state
         res = linearize(p, huber_delta)
         active = (p.obs_w > 0) & res.valid
         blocks = assemble_blocks(res.r, res.Jc, res.Jp, p.obs_cam, p.obs_pt,
-                                 active, p.n_cams, p.n_points)
+                                 active, p.n_cams, p.n_points, cam_onehot=E)
         # loose inexact-Newton forcing (Ceres ITERATIVE_SCHUR eta): at BAL
         # scale the LM loop absorbs CG step inexactness, so the Q-stagnation
         # exit cuts ~90 CG iterations per LM step at identical final cost
