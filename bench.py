@@ -11,8 +11,15 @@ the device-resident batched frame loop (pipelines/vo.py `_scan_frames`):
 general frames AND keyframe work execute inside one lax.scan dispatch, so
 the host pays one relay round-trip per `frames_per_dispatch` frames. This
 matches the reference's one published mechanism — whole-loop FPS
-(src/slam.cpp:49-84). `extra.pipeline_detail` carries the timed-window
-per-stage Monitor breakdown + keyframe/closure counters.
+(src/slam.cpp:49-84).
+
+The headline is a COMPOSITE over both operating phases — steady-state
+tracking of already-mapped content AND a keyframe-heavy fresh mapping
+pass (fresh driver, warm programs) — because looped fixture content
+saturates the map and a steady-state-only window can contain zero
+keyframes. `extra.pipeline_detail` reports the two phase figures
+separately plus the timed-window per-stage Monitor breakdown and
+keyframe/closure counters.
 
 "extra" carries the BASELINE.md supporting metrics:
 
@@ -258,14 +265,37 @@ def _bench_pipeline(jax, jnp):
     n_timed = n_total - warm
     stages = {name: {"n": tm.n, "avg_ms": round(1e3 * tm.average, 2)}
               for name, tm in vo.monitor.timers.items()}
+
+    # MAPPING-PHASE fps: once the looped content is fully mapped, the
+    # steady-state window above can contain few/no keyframes. A fresh
+    # driver (every program already compiled in this process) re-maps the
+    # content from scratch, so this window is keyframe-heavy — the honest
+    # worst-phase figure next to the steady-state one.
+    vo2 = MonoVO(Pinhole.kitti(), cfg)
+    vo2.process_batch(frames[:4])          # bootstrap outside the window
+    n_map = min(96, n_total - 4)
+    s0 = len(vo2.stats)
+    t0 = time.perf_counter()
+    vo2.process_batch(frames[4:4 + n_map])
+    dt2 = time.perf_counter() - t0
+    map_kf = sum(1 for s in vo2.stats[s0:] if s.is_keyframe)
+
+    # HEADLINE = composite over BOTH phases (steady-state tracking of
+    # mapped content + keyframe-heavy fresh mapping): a steady-state-only
+    # window can contain zero keyframes once looped content saturates the
+    # map, which would overstate what a user sees on novel content.
     return {
-        "fps": n_timed / dt,
-        "timed_frames": n_timed,
+        "fps": (n_timed + n_map) / (dt + dt2),
+        "fps_steady_state": round(n_timed / dt, 3),
+        "fps_mapping_phase": round(n_map / dt2, 3),
+        "timed_frames": n_timed + n_map,
         "warmup_frames": warm,
         "timed_keyframes": sum(1 for s in vo.stats[n_stats0:]
-                               if s.is_keyframe),
+                               if s.is_keyframe) + map_kf,
         "loop_closures_total": vo.n_loop_closures,
-        "loop_closures_timed": vo.n_loop_closures - lc0,
+        "loop_closures_timed": vo.n_loop_closures - lc0
+        + vo2.n_loop_closures,
+        "mapping_phase_keyframes": map_kf,
         "frames_per_dispatch": cfg.frames_per_dispatch,
         "stage_breakdown": stages,
     }
