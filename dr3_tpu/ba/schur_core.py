@@ -62,6 +62,59 @@ class SchurBlocks(NamedTuple):
     GtB: Optional[jnp.ndarray] = None   # [O, G, 3] global-point coupling
 
 
+def _two_sum(a, b):
+    """Knuth TwoSum: s + err == a + b exactly (in the absence of overflow)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _comp_add(x, y):
+    """Compensated (hi, lo) pair addition — the associative-scan combiner."""
+    h1, l1 = x
+    h2, l2 = y
+    s, e = _two_sum(h1, h2)
+    return _two_sum(s, l1 + l2 + e)
+
+
+def segment_boundaries(seg_ids_sorted, num_segments: int):
+    """(starts, ends) [S] row ranges of each segment in a SORTED id array."""
+    q = jnp.arange(num_segments, dtype=seg_ids_sorted.dtype)
+    starts = jnp.searchsorted(seg_ids_sorted, q, side="left")
+    ends = jnp.searchsorted(seg_ids_sorted, q, side="right")
+    return starts, ends
+
+
+def sorted_segment_sum(terms, seg_ids, num_segments: int, *,
+                       starts=None, ends=None):
+    """``segment_sum`` for terms already SORTED by segment id.
+
+    TPU scatter-adds are update-count-bound (~30 ms per 480k updates,
+    measured round 4 — the reason BAL-scale BA sat at 2.1 LM iters/s);
+    a prefix scan + boundary difference is pure bandwidth. Accuracy: the
+    prefix runs in two-float compensated arithmetic (TwoSum pairs, ~48
+    effective mantissa bits) and the boundary difference is taken in pair
+    arithmetic, so each segment sum is accurate to ~f32 eps of its own
+    magnitude even when the global prefix is 1e5x larger — a plain f32
+    cumsum would lose ALL bits of a depth-8 segment at O=480k.
+
+    ``starts``/``ends`` (from :func:`segment_boundaries`) are index data
+    that callers with an iteration loop should compute once and reuse.
+    """
+    O = terms.shape[0]
+    flat = terms.reshape(O, -1)
+    hi, lo = jax.lax.associative_scan(
+        _comp_add, (flat, jnp.zeros_like(flat)), axis=0)
+    zhi = jnp.concatenate([jnp.zeros_like(hi[:1]), hi])
+    zlo = jnp.concatenate([jnp.zeros_like(lo[:1]), lo])
+    if starts is None:
+        starts, ends = segment_boundaries(seg_ids, num_segments)
+    d_hi, d_err = _two_sum(zhi[ends], -zhi[starts])
+    out = d_hi + (d_err + (zlo[ends] - zlo[starts]))
+    return out.reshape((num_segments,) + terms.shape[1:])
+
+
 def cam_onehot_matrix(obs_cam, n_cams: int, dtype=jnp.float32):
     """[O, K] exact 0/1 camera-membership matrix for MXU reductions."""
     oc = jnp.clip(obs_cam, 0, n_cams - 1)
@@ -70,7 +123,8 @@ def cam_onehot_matrix(obs_cam, n_cams: int, dtype=jnp.float32):
 
 
 def assemble_blocks(r, Jc, Jp, obs_cam, obs_pt, active, n_cams: int,
-                    n_points: int, Jg=None, cam_onehot=None) -> SchurBlocks:
+                    n_points: int, Jg=None, cam_onehot=None,
+                    point_sorted: bool = False) -> SchurBlocks:
     """One pass over the observation table -> all normal-equation blocks.
 
     r [O, 2], Jc [O, 2, C], Jp [O, 2, 3] must already carry the robust /
@@ -82,10 +136,18 @@ def assemble_blocks(r, Jc, Jp, obs_cam, obs_pt, active, n_cams: int,
     TPU scatter-adds are update-count-bound (~30 ms per 480k updates at
     BAL scale, measured round 4), an exact-0/1 matmul is ~5 ms. Callers
     with an LM loop should build E once and reuse it every iteration.
-    The point-keyed reductions stay segment_sum (a [O, P] one-hot is not
-    representable at 60k points)."""
+    ``point_sorted``: the observation table is sorted by point id — the
+    point-keyed reductions then run as compensated prefix scans
+    (:func:`sorted_segment_sum`) instead of TPU scatter-adds. A [O, P]
+    one-hot is not representable at 60k points, so this is the point-side
+    analogue of the camera one-hot trick."""
     oc = jnp.clip(obs_cam, 0, n_cams - 1)
     op = jnp.clip(obs_pt, 0, n_points - 1)
+
+    def by_pt(terms):
+        if point_sorted:
+            return sorted_segment_sum(terms, op, n_points)
+        return jax.ops.segment_sum(terms, op, num_segments=n_points)
 
     AtA = jnp.einsum("oij,oik->ojk", Jc, Jc)
     BtB = jnp.einsum("oij,oik->ojk", Jp, Jp)
@@ -103,9 +165,9 @@ def assemble_blocks(r, Jc, Jp, obs_cam, obs_pt, active, n_cams: int,
         return out.reshape((n_cams,) + terms.shape[1:])
 
     Hcc = by_cam(AtA)
-    Hpp = jax.ops.segment_sum(BtB, op, num_segments=n_points)
+    Hpp = by_pt(BtB)
     bc = -by_cam(Atr)
-    bp = -jax.ops.segment_sum(Btr, op, num_segments=n_points)
+    bp = -by_pt(Btr)
 
     Hgg = Hgc = bg = GtB = None
     if Jg is not None:
@@ -217,12 +279,29 @@ def _explicit_s_corr_dense(WHinv, AtB, obs_cam, obs_pt, active,
 def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
                 method: str = "explicit", d_max: int | None = None,
                 jacobi: bool = True, cg_iters: int = 100,
-                cg_tol: float = 1e-5, q_eta: float = 0.0):
-    """One damped Schur solve -> (dc [K, C], dp [P, 3], dg [G] or None)."""
+                cg_tol: float = 1e-5, q_eta: float = 0.0,
+                point_sorted: bool = False):
+    """One damped Schur solve -> (dc [K, C], dp [P, 3], dg [G] or None).
+
+    ``point_sorted``: blocks' observation rows are sorted by point id, so
+    every point-keyed reduction (including the one inside each CG
+    iteration) runs as a compensated prefix scan instead of a TPU
+    scatter-add — see :func:`sorted_segment_sum`.
+    """
     K, C = blocks.Hcc.shape[0], blocks.Hcc.shape[-1]
     P = blocks.Hpp.shape[0]
     has_g = blocks.Hgg is not None
     G = blocks.Hgg.shape[0] if has_g else 0
+
+    if point_sorted:
+        pt_starts, pt_ends = segment_boundaries(blocks.obs_pt, P)
+
+        def by_pt(terms):
+            return sorted_segment_sum(terms, blocks.obs_pt, P,
+                                      starts=pt_starts, ends=pt_ends)
+    else:
+        def by_pt(terms):
+            return jax.ops.segment_sum(terms, blocks.obs_pt, num_segments=P)
 
     Hpp_d = _damp(blocks.Hpp, lam)
     Hcc_d = _damp(blocks.Hcc, lam)
@@ -231,9 +310,40 @@ def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
     Hinv_o = Hpp_inv[blocks.obs_pt]                          # [O, 3, 3]
     WHinv = jnp.einsum("ocj,ojl->ocl", blocks.AtB, Hinv_o)   # [O, C, 3]
     bp_o = blocks.bp[blocks.obs_pt]                          # [O, 3]
-    rhs_c = blocks.bc - jax.ops.segment_sum(
-        jnp.einsum("ocl,ol->oc", WHinv, bp_o), blocks.obs_cam,
-        num_segments=K)
+
+    # one-hot camera-membership matrix: camera-keyed reductions and
+    # broadcasts (rhs_c here, plus every CG iteration's operator) run as
+    # MXU matmuls against E instead of segment_sum/gather — measured 6x
+    # faster per op at BAL scale (480k obs: 4 ms vs 27 ms). E rows are
+    # exact 0/1 so the contraction is exact at HIGHEST precision. Above
+    # ~1 GB of one-hot (huge K*O) fall back to segment_sum/gather.
+    O = blocks.obs_cam.shape[0]
+    use_onehot = O * K <= 256 * 1024 * 1024
+    E = None
+    if use_onehot:
+        E = (blocks.obs_cam[:, None] ==
+             jnp.arange(K, dtype=jnp.int32)[None, :]).astype(Hcc_d.dtype)
+
+    def by_cam(terms):
+        """[O, ...] -> [K, ...]: sum of terms per camera."""
+        if not use_onehot:
+            return jax.ops.segment_sum(terms, blocks.obs_cam,
+                                       num_segments=K)
+        flat = terms.reshape(terms.shape[0], -1)
+        out = jax.lax.dot_general(E, flat, (((0,), (0,)), ((), ())),
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+        return out.reshape((K,) + terms.shape[1:])
+
+    def to_obs(per_cam):
+        """[K, C] -> [O, C]: per_cam[obs_cam]."""
+        if not use_onehot:
+            return per_cam[blocks.obs_cam]
+        return jax.lax.dot_general(E, per_cam, (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+
+    rhs_c = blocks.bc - by_cam(jnp.einsum("ocl,ol->oc", WHinv, bp_o))
 
     keep = (~cam_fixed).astype(blocks.Hcc.dtype)
     keep_v = jnp.repeat(keep, C)
@@ -261,8 +371,7 @@ def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
 
         if has_g:
             Hgg_d = _damp(blocks.Hgg, lam)
-            Wg = jax.ops.segment_sum(blocks.GtB, blocks.obs_pt,
-                                     num_segments=P)          # [P, G, 3]
+            Wg = by_pt(blocks.GtB)                            # [P, G, 3]
             WgHinv = jnp.einsum("pgj,pjl->pgl", Wg, Hpp_inv)  # [P, G, 3]
             S_gg = Hgg_d - jnp.einsum("pgl,phl->gh", WgHinv, Wg)
             S_gc = blocks.Hgc - jax.ops.segment_sum(
@@ -293,38 +402,6 @@ def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
         dg = x[K * C:] if has_g else None
 
     elif method == "pcg":
-        # one-hot camera-membership matrix: the by-camera reductions and
-        # broadcasts inside the CG operator run as MXU matmuls against E
-        # instead of segment_sum/gather — measured 6x faster per op at BAL
-        # scale (480k obs: 4 ms vs 27 ms), built ONCE per solve and reused
-        # every iteration. E rows are exact 0/1 so the contraction is
-        # exact at HIGHEST precision. Above ~1 GB of one-hot (huge K*O)
-        # the code falls back to segment_sum/gather.
-        O = blocks.obs_cam.shape[0]
-        use_onehot = O * K <= 256 * 1024 * 1024
-        if use_onehot:
-            E = (blocks.obs_cam[:, None] ==
-                 jnp.arange(K, dtype=jnp.int32)[None, :]).astype(Hcc_d.dtype)
-
-        def by_cam(terms):
-            """[O, ...] -> [K, ...]: sum of terms per camera."""
-            if not use_onehot:
-                return jax.ops.segment_sum(terms, blocks.obs_cam,
-                                           num_segments=K)
-            flat = terms.reshape(terms.shape[0], -1)
-            out = jax.lax.dot_general(E, flat, (((0,), (0,)), ((), ())),
-                                      precision=jax.lax.Precision.HIGHEST,
-                                      preferred_element_type=jnp.float32)
-            return out.reshape((K,) + terms.shape[1:])
-
-        def to_obs(per_cam):
-            """[K, C] -> [O, C]: per_cam[obs_cam]."""
-            if not use_onehot:
-                return per_cam[blocks.obs_cam]
-            return jax.lax.dot_general(E, per_cam, (((1,), (0,)), ((), ())),
-                                       precision=jax.lax.Precision.HIGHEST,
-                                       preferred_element_type=jnp.float32)
-
         # SCHUR_JACOBI preconditioner: block diagonal of S (same-observation
         # terms; reference src/optimizer.cpp:161)
         M = Hcc_d - by_cam(jnp.einsum("ocl,odl->ocd", WHinv, blocks.AtB))
@@ -344,8 +421,7 @@ def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
         # src/optimizer.cpp:144-153).
         if has_g:
             Hgg_d = _damp(blocks.Hgg, lam)
-            Wg = jax.ops.segment_sum(blocks.GtB, blocks.obs_pt,
-                                     num_segments=P)          # [P, G, 3]
+            Wg = by_pt(blocks.GtB)                            # [P, G, 3]
             WgHinv = jnp.einsum("pgj,pjl->pgl", Wg, Hpp_inv)  # [P, G, 3]
             S_gg = Hgg_d - jnp.einsum("pgl,phl->gh", WgHinv, Wg) \
                 + 1e-7 * jnp.eye(G, dtype=Hgg_d.dtype)
@@ -359,9 +435,7 @@ def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
         def s_mv(x):
             xc, xg = x
             xk = xc * keep_c
-            u = jax.ops.segment_sum(
-                jnp.einsum("ocj,oc->oj", blocks.AtB, to_obs(xk)),
-                blocks.obs_pt, num_segments=P)
+            u = by_pt(jnp.einsum("ocj,oc->oj", blocks.AtB, to_obs(xk)))
             v = jnp.einsum("pij,pj->pi", Hpp_inv, u)
             y = jnp.einsum("kcd,kd->kc", Hcc_d, xk) - by_cam(
                 jnp.einsum("ocj,oj->oc", blocks.AtB, v[blocks.obs_pt]))
@@ -438,11 +512,9 @@ def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
         raise ValueError(f"unknown schur method {method!r}")
 
     # back-substitute points: dp = Hpp^-1 (bp - W^T dc - Wg^T dg)
-    u = jax.ops.segment_sum(
-        jnp.einsum("ocj,oc->oj", blocks.AtB, dc[blocks.obs_cam]),
-        blocks.obs_pt, num_segments=P)
+    u = by_pt(jnp.einsum("ocj,oc->oj", blocks.AtB, dc[blocks.obs_cam]))
     if has_g:
-        Wg = jax.ops.segment_sum(blocks.GtB, blocks.obs_pt, num_segments=P)
+        Wg = by_pt(blocks.GtB)
         u = u + jnp.einsum("pgj,g->pj", Wg, dg)
     dp = jnp.einsum("pij,pj->pi", Hpp_inv, blocks.bp - u)
     return dc, dp, dg

@@ -229,6 +229,479 @@ def linearize(p: SnavelyProblem, huber_delta: float = 2.0) -> SnavelyResiduals:
                             Jp=Jp * sw[..., None], cost=cost, valid=valid)
 
 
+def _assemble_direct(p: SnavelyProblem, E: jnp.ndarray, huber_delta: float):
+    """Fused linearize + normal-equation assembly, SCALARIZED for TPU.
+
+    The generic path (:func:`linearize` + schur_core.assemble_blocks) costs
+    ~630 ms per LM iteration at BAL scale on a v5e — measured round 5 —
+    for two layout reasons:
+
+    * its chained batched matmuls over tiny per-observation matrices
+      (``[O,2,2] @ [O,2,3]`` etc.) lower to MXU ops whose operands pad the
+      trailing (2..9, 3..9) dims to full (8, 128) tiles — each ``[O,2,9]``
+      intermediate occupies ~2 GB of HBM instead of 34 MB;
+    * the jit boundary between linearize and assembly materializes three
+      such rank-3 arrays.
+
+    Here every quantity is a plain ``[O]`` vector and the tiny contractions
+    (quaternion rotation, du_dq @ dq_dp, the hat-product, du_dp @ R) are
+    expanded into elementwise multiply-adds the VPU streams at bandwidth;
+    the only materialized per-observation tensors are rank-2 ``[O, F]``
+    stacks feeding the camera-one-hot MXU reduction (exact 0/1 matmul) and
+    one ``[O, 12]`` point-keyed segment scatter. Same math as
+    linearize+assemble_blocks to f32 rounding (pinned by
+    tests/test_snavely.py::test_assemble_direct_matches_generic).
+    Returns (SchurBlocks, robust cost).
+    """
+    O = p.n_obs
+    K, P = p.n_cams, p.n_points
+    oc = jnp.clip(p.obs_cam, 0, K - 1)
+    op = jnp.clip(p.obs_pt, 0, P - 1)
+
+    # per-observation camera parameters through ONE [O,K]@[K,10] MXU matmul
+    # (exact: E rows are one-hot 0/1), points through one [P,3] gather
+    params = jnp.concatenate([p.cam_wxyz, p.cam_t, p.cam_fkk], axis=1)
+    po = jax.lax.dot_general(E, params, (((1,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+    qw, qx_, qy_, qz_ = po[:, 0], po[:, 1], po[:, 2], po[:, 3]
+    tx, ty, tz = po[:, 4], po[:, 5], po[:, 6]
+    f, k1, k2 = po[:, 7], po[:, 8], po[:, 9]
+    X = p.points[op]
+    X0, X1, X2 = X[:, 0], X[:, 1], X[:, 2]
+
+    # rotation matrix entries from the (normalized) quaternion
+    qn = jax.lax.rsqrt(jnp.maximum(qw * qw + qx_ * qx_ + qy_ * qy_
+                                   + qz_ * qz_, 1e-24))
+    w, x, y, z_ = qw * qn, qx_ * qn, qy_ * qn, qz_ * qn
+    R00 = 1.0 - 2.0 * (y * y + z_ * z_)
+    R01 = 2.0 * (x * y - w * z_)
+    R02 = 2.0 * (x * z_ + w * y)
+    R10 = 2.0 * (x * y + w * z_)
+    R11 = 1.0 - 2.0 * (x * x + z_ * z_)
+    R12 = 2.0 * (y * z_ - w * x)
+    R20 = 2.0 * (x * z_ - w * y)
+    R21 = 2.0 * (y * z_ + w * x)
+    R22 = 1.0 - 2.0 * (x * x + y * y)
+
+    xc0 = R00 * X0 + R01 * X1 + R02 * X2 + tx
+    xc1 = R10 * X0 + R11 * X1 + R12 * X2 + ty
+    xc2 = R20 * X0 + R21 * X1 + R22 * X2 + tz
+
+    z_safe = jnp.where(jnp.abs(xc2) < 1e-12, 1e-12, xc2)
+    iz = 1.0 / z_safe
+    qx = -xc0 * iz
+    qy = -xc1 * iz
+    r2 = qx * qx + qy * qy
+    dist = 1.0 + k1 * r2 + k2 * r2 * r2
+    ddist = k1 + 2.0 * k2 * r2
+
+    uo, vo = p.obs_uv[:, 0], p.obs_uv[:, 1]
+    fd = f * dist
+    ru = fd * qx - uo
+    rv = fd * qy - vo
+
+    # du/dq = f*dist*I + 2 f ddist q q^T (2x2 symmetric)
+    B = 2.0 * f * ddist
+    d11 = fd + B * qx * qx
+    d12 = B * qx * qy
+    d22 = fd + B * qy * qy
+
+    # du/dp = du_dq @ dq_dp with dq_dp = [[-iz,0,-iz*qx],[0,-iz,-iz*qy]]
+    M00 = -iz * d11
+    M01 = -iz * d12
+    M02 = -iz * (d11 * qx + d12 * qy)
+    M10 = -iz * d12
+    M11 = -iz * d22
+    M12 = -iz * (d12 * qx + d22 * qy)
+
+    # pose block: [du_dp | -du_dp @ hat(xc)]
+    def rot_cols(a, b, c):
+        return (b * xc2 - c * xc1, c * xc0 - a * xc2, a * xc1 - b * xc0)
+
+    W03, W04, W05 = rot_cols(M00, M01, M02)
+    W13, W14, W15 = rot_cols(M10, M11, M12)
+
+    # internal parameters
+    Jf_u = dist * qx
+    Jf_v = dist * qy
+    Jk1_u = f * r2 * qx
+    Jk1_v = f * r2 * qy
+    Jk2_u = f * r2 * r2 * qx
+    Jk2_v = f * r2 * r2 * qy
+
+    Jc_u = (M00, M01, M02, -W03, -W04, -W05, Jf_u, Jk1_u, Jk2_u)
+    Jc_v = (M10, M11, M12, -W13, -W14, -W15, Jf_v, Jk1_v, Jk2_v)
+
+    # Jp = du_dp @ R
+    Jp_u = (M00 * R00 + M01 * R10 + M02 * R20,
+            M00 * R01 + M01 * R11 + M02 * R21,
+            M00 * R02 + M01 * R12 + M02 * R22)
+    Jp_v = (M10 * R00 + M11 * R10 + M12 * R20,
+            M10 * R01 + M11 * R11 + M12 * R21,
+            M10 * R02 + M11 * R12 + M12 * R22)
+
+    fin = jnp.isfinite(ru) & jnp.isfinite(rv)
+    for col in Jc_u + Jc_v + Jp_u + Jp_v:
+        fin = fin & jnp.isfinite(col)
+    valid = fin & (jnp.abs(xc2) > 1e-9) & (p.obs_w > 0)
+
+    # sanitize through the mask with where, not 0-multiplication: padded /
+    # non-finite observations can overflow the k2 r^4 term and 0 * inf
+    # would nan the summed cost and normal equations (same guard as
+    # linearize)
+    vf = valid.astype(ru.dtype)
+    ru = jnp.where(valid, ru, 0.0)
+    rv = jnp.where(valid, rv, 0.0)
+    r_norm = jnp.sqrt(ru * ru + rv * rv)
+    huber_w = jnp.where(r_norm <= huber_delta, 1.0,
+                        huber_delta / jnp.maximum(r_norm, 1e-12))
+    wgt = p.obs_w * huber_w * vf
+    sw = jnp.sqrt(wgt)
+    rho = jnp.where(r_norm <= huber_delta, 0.5 * r_norm * r_norm,
+                    huber_delta * (r_norm - 0.5 * huber_delta))
+    cost = jnp.sum(p.obs_w * vf * rho)
+
+    ru = ru * sw
+    rv = rv * sw
+    Jc_u = tuple(jnp.where(valid, c, 0.0) * sw for c in Jc_u)
+    Jc_v = tuple(jnp.where(valid, c, 0.0) * sw for c in Jc_v)
+    Jp_u = tuple(jnp.where(valid, c, 0.0) * sw for c in Jp_u)
+    Jp_v = tuple(jnp.where(valid, c, 0.0) * sw for c in Jp_v)
+
+    # pin the scalar chain: every product column below reads all 26 of
+    # these, and without the barrier XLA re-derives the whole chain
+    # (quaternion rotation onward) inside several consumer kernels —
+    # measured 227 ms for the full assembly vs ~45 ms for its parts
+    pinned = jax.lax.optimization_barrier(Jc_u + Jc_v + Jp_u + Jp_v
+                                          + (ru, rv))
+    Jc_u, Jc_v = pinned[0:9], pinned[9:18]
+    Jp_u, Jp_v = pinned[18:21], pinned[21:24]
+    ru, rv = pinned[24], pinned[25]
+
+    # ---- normal-equation blocks ----
+    # ONE merged [O, 129] rank-2 product stack: AtA (81) | Atr (9) |
+    # BtB+Btr (12) | AtB (27). Camera-keyed columns reduce through ONE
+    # exact one-hot MXU matmul, point-keyed ones through one [O, 12]
+    # segment scatter, and the AtB slice stays rank-2 (reshaping to
+    # [O, 9, 3] at a program boundary relayouts into (8,128)-padded tiles
+    # — measured 167 ms alone on a v5e).
+    feats = [Jc_u[i] * Jc_u[j] + Jc_v[i] * Jc_v[j]
+             for i in range(9) for j in range(9)]               # AtA flat
+    feats += [Jc_u[i] * ru + Jc_v[i] * rv for i in range(9)]    # Atr
+    feats += [Jp_u[i] * Jp_u[j] + Jp_v[i] * Jp_v[j]
+              for i in range(3) for j in range(3)]              # BtB flat
+    feats += [Jp_u[i] * ru + Jp_v[i] * rv for i in range(3)]    # Btr
+    feats += [Jc_u[i] * Jp_u[j] + Jc_v[i] * Jp_v[j]
+              for i in range(9) for j in range(3)]              # AtB flat
+    stack = jnp.stack(feats, axis=-1)                           # [O, 129]
+
+    red = jax.lax.dot_general(E, stack[:, :90], (((0,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)  # [K, 90]
+    Hcc = red[:, :81].reshape(K, 9, 9)
+    bc = -red[:, 81:90]
+
+    pred = jax.ops.segment_sum(stack[:, 90:102], op,
+                               num_segments=P)                  # [P, 12]
+    Hpp9 = pred[:, :9]                                          # [P, 9]
+    bp = -pred[:, 9:12]
+
+    AtB2 = stack[:, 102:129]                                    # [O, 27]
+
+    return DirectBlocks(Hcc=Hcc, bc=bc, Hpp9=Hpp9, bp=bp, AtB2=AtB2,
+                        obs_cam=oc, obs_pt=op, active=valid), cost
+
+
+class DirectBlocks(NamedTuple):
+    """Rank-2 normal-equation blocks for the scalarized BAL fast path."""
+
+    Hcc: jnp.ndarray     # [K, 9, 9]
+    bc: jnp.ndarray      # [K, 9]
+    Hpp9: jnp.ndarray    # [P, 9] row-major 3x3 blocks
+    bp: jnp.ndarray      # [P, 3]
+    AtB2: jnp.ndarray    # [O, 27] row-major 9x3 blocks
+    obs_cam: jnp.ndarray
+    obs_pt: jnp.ndarray
+    active: jnp.ndarray
+
+
+def _inv3x3_flat(h9, lam):
+    """Damped inverse of symmetric 3x3 blocks stored as [P, 9] columns —
+    scalarized adjugate/determinant (no [P, 3, 3] rank-3 arrays)."""
+    a = h9[:, 0] * (1.0 + lam) + 1e-8
+    e = h9[:, 4] * (1.0 + lam) + 1e-8
+    i = h9[:, 8] * (1.0 + lam) + 1e-8
+    b, c, f = h9[:, 1], h9[:, 2], h9[:, 5]
+    d, g, h = h9[:, 3], h9[:, 6], h9[:, 7]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    cols = [A00, A01, A02, A10, A11, A12, A20, A21, A22]
+    return jnp.stack([x * inv_det for x in cols], axis=-1)    # [P, 9]
+
+
+def _mv3(h9, x):
+    """[P, 9] flat 3x3 blocks times [P, 3] vectors -> [P, 3]."""
+    return jnp.stack([
+        h9[:, 0] * x[:, 0] + h9[:, 1] * x[:, 1] + h9[:, 2] * x[:, 2],
+        h9[:, 3] * x[:, 0] + h9[:, 4] * x[:, 1] + h9[:, 5] * x[:, 2],
+        h9[:, 6] * x[:, 0] + h9[:, 7] * x[:, 1] + h9[:, 8] * x[:, 2],
+    ], axis=-1)
+
+
+def _chol3_flat(h9):
+    """Lower Cholesky factor of SPD 3x3 blocks stored flat [P, 9] ->
+    [P, 6] columns (l00, l10, l11, l20, l21, l22), scalarized."""
+    a, b, c = h9[:, 0], h9[:, 1], h9[:, 2]
+    e, f, i = h9[:, 4], h9[:, 5], h9[:, 8]
+    l00 = jnp.sqrt(jnp.maximum(a, 1e-30))
+    l10 = b / l00
+    l20 = c / l00
+    l11 = jnp.sqrt(jnp.maximum(e - l10 * l10, 1e-30))
+    l21 = (f - l20 * l10) / l11
+    l22 = jnp.sqrt(jnp.maximum(i - l20 * l20 - l21 * l21, 1e-30))
+    return jnp.stack([l00, l10, l11, l20, l21, l22], axis=-1)
+
+
+# dense-Z ceiling: the [3P, 9K] square-root factor of the Schur correction
+# must fit comfortably in HBM (f32)
+_Z_MAX_BYTES = 2 * 1024**3
+
+
+def _solve_explicit_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
+                           jacobi: bool = True):
+    """EXACT dense Schur solve via a square-root factorization — the
+    BAL-scale fast path that replaces the CG loop entirely.
+
+    The cross-camera correction is sum_p W_p Hpp^-1 W_p^T with
+    W never materialized. Write Hpp^-1_p = L_p L_p^T (3x3 Cholesky) and
+    per observation Z_o = L_{p(o)}^T Jp_o^T Jc_o in R^{3x9}; then
+
+        sum_p W Hpp^-1 W^T  =  Z^T Z,   Z in R^{3P x 9K},
+
+    where Z's (3p+r, 9k+c) block row collects the unique observation of
+    point p by camera k (a camera observes a point at most once, so the
+    scatter that builds dense Z has no collisions). Z^T Z is ONE MXU
+    matmul (~420 GFLOP at 120 cams x 60k points: ~5 ms) and the reduced
+    [9K, 9K] system solves by Cholesky — compare ~20 PCG iterations each
+    paying a point-keyed scatter+gather (~185 ms). Dense Z costs
+    12*P*K*9 bytes; callers fall back to PCG above ``_Z_MAX_BYTES``.
+    Same reduced system as schur_core.solve_schur(method='explicit')
+    (pinned by tests/test_snavely.py::test_solve_explicit_direct_matches).
+    """
+    K = blocks.Hcc.shape[0]
+    P = blocks.Hpp9.shape[0]
+    A = blocks.AtB2                                     # [O, 27]
+    O = A.shape[0]
+    op = blocks.obs_pt
+    oc = blocks.obs_cam
+
+    eye9 = jnp.eye(9, dtype=A.dtype)
+    diag_c = jnp.diagonal(blocks.Hcc, axis1=-2, axis2=-1)
+    Hcc_d = blocks.Hcc + eye9 * (lam * diag_c + 1e-8)[..., None, :]
+    Hinv9 = _inv3x3_flat(blocks.Hpp9, lam)              # [P, 9]
+    L6 = _chol3_flat(Hinv9)                             # [P, 6]
+
+    Lo = L6[op]                                         # [O, 6] one gather
+    # Z_o = L^T (AtB_o)^T viewed [3, 9]: Z[r, c] = sum_j L[j, r] A[c*3+j]
+    l = [Lo[:, 0], Lo[:, 1], Lo[:, 2], Lo[:, 3], Lo[:, 4], Lo[:, 5]]
+    # L (lower) columns: L[:,0]=(l00,l10,l20), L[:,1]=(0,l11,l21), L[:,2]=(0,0,l22)
+    zcols = []
+    for r in range(3):
+        for c in range(9):
+            if r == 0:
+                v = l[0] * A[:, 3 * c + 0] + l[1] * A[:, 3 * c + 1] \
+                    + l[3] * A[:, 3 * c + 2]
+            elif r == 1:
+                v = l[2] * A[:, 3 * c + 1] + l[4] * A[:, 3 * c + 2]
+            else:
+                v = l[5] * A[:, 3 * c + 2]
+            zcols.append(v)
+    zupd = jnp.stack(zcols, axis=-1)                    # [O, 27]
+
+    rows = 3 * op[:, None] + jnp.arange(3, dtype=op.dtype)[None, :]
+    cols = 9 * oc[:, None] + jnp.arange(9, dtype=oc.dtype)[None, :]
+    flat_idx = (rows[:, :, None] * (9 * K) + cols[:, None, :]).reshape(O, 27)
+    Z = jnp.zeros((3 * P * 9 * K,), A.dtype) \
+        .at[flat_idx.reshape(-1)].add(zupd.reshape(-1)) \
+        .reshape(3 * P, 9 * K)
+    S_corr = jax.lax.dot_general(Z, Z, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+    # bordered camera system: S = blockdiag(Hcc_d) - S_corr
+    S = -S_corr
+    S = S.reshape(K, 9, K, 9).at[jnp.arange(K), :, jnp.arange(K), :] \
+        .add(Hcc_d).reshape(9 * K, 9 * K)
+
+    # rhs_c = bc - by_cam(Jc^T Jp Hinv bp), factored through the 2-vector
+    # s = Jp Hinv bp per observation
+    bp_o = _mv3(Hinv9, blocks.bp)[op]                   # [O, 3] one gather
+    su = A[:, 0::3] * bp_o[:, 0:1] + A[:, 1::3] * bp_o[:, 1:2] \
+        + A[:, 2::3] * bp_o[:, 2:3]                     # [O, 9] = W Hinv bp
+    rhs_c = blocks.bc - jax.lax.dot_general(
+        E, su, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+    keep_v = jnp.repeat((~cam_fixed).astype(S.dtype), 9)
+    fixed_v = 1.0 - keep_v
+    S = S * keep_v[:, None] * keep_v[None, :] + jnp.diag(fixed_v)
+    rhs = rhs_c.reshape(9 * K) * keep_v
+
+    if jacobi:
+        d = jnp.sqrt(jnp.maximum(jnp.diag(S), 1e-12))
+        dinv = 1.0 / d
+        S = S * dinv[:, None] * dinv[None, :]
+        rhs = rhs * dinv
+    S = S + 1e-6 * jnp.eye(S.shape[0], dtype=S.dtype)
+    Lc = jnp.linalg.cholesky(S)
+    y = jax.scipy.linalg.solve_triangular(Lc, rhs, lower=True)
+    xs = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False)
+    if jacobi:
+        xs = xs * dinv
+    dc = xs.reshape(K, 9)
+
+    # back-substitute points: dp = Hinv (bp - W^T dc)
+    dco = jax.lax.dot_general(E, dc * (~cam_fixed)[:, None].astype(A.dtype),
+                              (((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)  # [O, 9]
+    u = jnp.stack([
+        sum(A[:, 3 * c + ll] * dco[:, c] for c in range(9))
+        for ll in range(3)], axis=-1)
+    up = jax.ops.segment_sum(u, op, num_segments=P)
+    dp = _mv3(Hinv9, blocks.bp - up)
+    return dc, dp
+
+
+def _solve_pcg_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
+                      cg_iters: int, cg_tol: float, q_eta: float):
+    """Matrix-free Schur PCG on rank-2 blocks (the scalarized twin of
+    schur_core.solve_schur's pcg path — same math, same SCHUR_JACOBI
+    preconditioner, same residual + Ceres Q-stagnation termination;
+    equivalence pinned by tests/test_snavely.py). Every per-observation
+    quantity stays [O, F<=27] rank-2; camera reductions/broadcasts are
+    exact one-hot MXU matmuls against ``E``; the only per-CG-iteration
+    point ops are one [O, 3] segment scatter and one [P, 3] gather."""
+    from dr3_tpu.geometry.linalg import chol_solve_small
+
+    K = blocks.Hcc.shape[0]
+    P = blocks.Hpp9.shape[0]
+    A = blocks.AtB2                                     # [O, 27]
+    op = blocks.obs_pt
+
+    eye9 = jnp.eye(9, dtype=A.dtype)
+    diag_c = jnp.diagonal(blocks.Hcc, axis1=-2, axis2=-1)
+    Hcc_d = blocks.Hcc + eye9 * (lam * diag_c + 1e-8)[..., None, :]
+    Hinv9 = _inv3x3_flat(blocks.Hpp9, lam)              # [P, 9]
+
+    Hio = Hinv9[op]                                     # [O, 9] one gather
+    # WHinv[o, 3i+l] = sum_j A[o, 3i+j] * Hio[o, 3j+l]
+    WH = jnp.stack([
+        sum(A[:, 3 * i + j] * Hio[:, 3 * j + l] for j in range(3))
+        for i in range(9) for l in range(3)], axis=-1)  # [O, 27]
+
+    def by_cam(stack):
+        return jax.lax.dot_general(E, stack, (((0,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+
+    def to_obs(per_cam):
+        return jax.lax.dot_general(E, per_cam, (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+
+    bp_o = blocks.bp[op]                                # [O, 3] one gather
+    rhs_o = jnp.stack([
+        sum(WH[:, 3 * c + l] * bp_o[:, l] for l in range(3))
+        for c in range(9)], axis=-1)                    # [O, 9]
+    rhs_c = blocks.bc - by_cam(rhs_o)
+
+    # SCHUR_JACOBI preconditioner: block diagonal of S
+    mm = jnp.stack([
+        sum(WH[:, 3 * i + l] * A[:, 3 * k + l] for l in range(3))
+        for i in range(9) for k in range(9)], axis=-1)  # [O, 81]
+    M = Hcc_d - by_cam(mm).reshape(K, 9, 9)
+    eyeC = jnp.eye(9, dtype=M.dtype)
+    M = jnp.where(cam_fixed[:, None, None], eyeC, M) + 1e-7 * eyeC
+
+    keep = (~cam_fixed).astype(A.dtype)[:, None]        # [K, 1]
+    fixed_c = 1.0 - keep
+
+    def s_mv(xc):
+        xk = xc * keep
+        xo = to_obs(xk)                                 # [O, 9]
+        u = jnp.stack([
+            sum(A[:, 3 * c + l] * xo[:, c] for c in range(9))
+            for l in range(3)], axis=-1)                # [O, 3]
+        up = jax.ops.segment_sum(u, op, num_segments=P)  # [P, 3] scatter
+        v = _mv3(Hinv9, up)
+        vo = v[op]                                      # [O, 3] gather
+        yo = jnp.stack([
+            sum(A[:, 3 * c + l] * vo[:, l] for l in range(3))
+            for c in range(9)], axis=-1)                # [O, 9]
+        y = jnp.einsum("kcd,kd->kc", Hcc_d, xk) - by_cam(yo)
+        return y * keep + xc * fixed_c
+
+    def m_inv(r):
+        return chol_solve_small(M, r)
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    b = rhs_c * keep
+    bs = dot(b, b)
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = m_inv(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+
+    def q_of(x, r):
+        return -0.5 * (dot(x, b) + dot(x, r))
+
+    def cond(st):
+        i, x, r, p, rz, q_prev, q_cur = st
+        resid_ok = dot(r, r) > cg_tol**2 * bs
+        dq = q_prev - q_cur
+        stagnant = (q_eta > 0.0) & (i > 1) & \
+            (i.astype(q_cur.dtype) * dq <= q_eta * jnp.abs(q_cur))
+        return (i < cg_iters) & resid_ok & ~stagnant
+
+    def step(st):
+        i, x, r, p, rz, q_prev, q_cur = st
+        Ap = s_mv(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = m_inv(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        return i + 1, x, r, z + beta * p, rz_new, q_cur, q_of(x, r)
+
+    zero_q = jnp.asarray(0.0, b.dtype)
+    _, dc, _, _, _, _, _ = jax.lax.while_loop(
+        cond, step, (jnp.asarray(0), x0, r0, p0, rz0, zero_q, zero_q))
+
+    # back-substitute points
+    dco = to_obs(dc * keep)                             # [O, 9]
+    u = jnp.stack([
+        sum(A[:, 3 * c + l] * dco[:, c] for c in range(9))
+        for l in range(3)], axis=-1)
+    up = jax.ops.segment_sum(u, op, num_segments=P)
+    dp = _mv3(Hinv9, blocks.bp - up)
+    return dc, dp
+
+
 def apply_update(p: SnavelyProblem, dc: jnp.ndarray,
                  dp: jnp.ndarray) -> SnavelyProblem:
     """dc [K, 9] = [rho, omega, df, dk1, dk2]; fixed cameras stay put."""
@@ -253,33 +726,63 @@ def bundle_adjust_snavely(problem: SnavelyProblem, max_iters: int = 30,
     LM loop absorbs step inexactness). Callers that need near-exact steps —
     fixed LM budgets, tight-convergence tests — pass cg_tol=1e-5, q_eta=0.
     """
+    # camera one-hot for MXU-shaped parameter broadcasts + normal-equation
+    # reductions, built ONCE and reused every LM iteration (obs_cam is
+    # constant across the loop). Above ~1 GB of one-hot fall back to the
+    # generic gather/scatter path.
+    use_direct = problem.n_obs * problem.n_cams <= 256 * 1024 * 1024
+    z_fits = (12 * problem.n_points * problem.n_cams * 9 <= _Z_MAX_BYTES)
+
     method = solver
     if solver == "auto":
-        method = "explicit" if problem.n_cams <= _EXPLICIT_MAX_CAMS else "pcg"
+        # the square-root dense-Schur fast path is both exact AND the
+        # fastest at BAL scale (no CG loop; one MXU matmul) — prefer it
+        # whenever dense Z fits, fall back to matrix-free PCG beyond
+        if use_direct and z_fits:
+            method = "zexplicit"
+        elif problem.n_cams <= _EXPLICIT_MAX_CAMS:
+            method = "explicit"
+        else:
+            method = "pcg"
+    if method == "zexplicit" and not (use_direct and z_fits):
+        method = "pcg"
     if d_max is None:
         d_max = min(problem.n_cams, problem.n_obs)
     cost0 = residual_cost(problem, huber_delta)
 
-    # camera one-hot for MXU-shaped normal-equation reductions, built ONCE
-    # and reused every LM iteration (obs_cam is constant across the loop)
     E = None
-    if problem.n_obs * problem.n_cams <= 256 * 1024 * 1024:
+    if use_direct:
         from dr3_tpu.ba.schur_core import cam_onehot_matrix
 
         E = cam_onehot_matrix(problem.obs_cam, problem.n_cams)
 
+    fast = use_direct and method in ("pcg", "zexplicit")
+
     def body(_, state):
         p, lam, best_cost, n_acc = state
-        res = linearize(p, huber_delta)
-        active = (p.obs_w > 0) & res.valid
-        blocks = assemble_blocks(res.r, res.Jc, res.Jp, p.obs_cam, p.obs_pt,
-                                 active, p.n_cams, p.n_points, cam_onehot=E)
         # loose inexact-Newton forcing (Ceres ITERATIVE_SCHUR eta): at BAL
         # scale the LM loop absorbs CG step inexactness, so the Q-stagnation
         # exit cuts ~90 CG iterations per LM step at identical final cost
-        dc, dpt, _ = solve_schur(blocks, lam, p.cam_fixed, method=method,
-                                 d_max=d_max, cg_iters=cg_iters,
-                                 cg_tol=cg_tol, q_eta=q_eta)
+        if fast:
+            # fused scalarized linearize+assembly+solve — the BAL-scale
+            # fast path (~770 ms -> well under 200 ms per LM iteration on
+            # a v5e, round 5; see _assemble_direct / _solve_explicit_direct
+            # / _solve_pcg_direct)
+            blocks, _c = _assemble_direct(p, E, huber_delta)
+            if method == "zexplicit":
+                dc, dpt = _solve_explicit_direct(blocks, lam, p.cam_fixed, E)
+            else:
+                dc, dpt = _solve_pcg_direct(blocks, lam, p.cam_fixed, E,
+                                            cg_iters, cg_tol, q_eta)
+        else:
+            res = linearize(p, huber_delta)
+            active = (p.obs_w > 0) & res.valid
+            blocks = assemble_blocks(res.r, res.Jc, res.Jp, p.obs_cam,
+                                     p.obs_pt, active, p.n_cams,
+                                     p.n_points, cam_onehot=E)
+            dc, dpt, _ = solve_schur(blocks, lam, p.cam_fixed, method=method,
+                                     d_max=d_max, cg_iters=cg_iters,
+                                     cg_tol=cg_tol, q_eta=q_eta)
         p_new = apply_update(p, dc, dpt)
         new_cost = residual_cost(p_new, huber_delta)
         # finite params required: a nan candidate masks its own

@@ -260,7 +260,11 @@ def align_to_templates_auto(img: jnp.ndarray, templates: jnp.ndarray,
     track_pyramid_auto."""
     import jax
 
-    if jax.devices()[0].platform in ("tpu", "axon"):
+    # the atlas cell is 16 px and needs Wp + 7 slack for edge replication:
+    # configs with feature_align_patch > 9 fall back to the jnp path
+    # instead of asserting (ADVICE r4)
+    if (jax.devices()[0].platform in ("tpu", "axon")
+            and templates.shape[-1] + 7 <= 16):
         from dr3_tpu.ops.pallas.lk_pallas import track_level_pallas
 
         half = (templates.shape[-1] - 1) // 2

@@ -57,7 +57,10 @@ def _sample_patches(img, centers, half):
     """[N, 2] centers -> [N, W, W] bilinear patches, clamp borders.
     Pallas aligned-window kernel on TPU (XLA patch gathers cost ~11 ms per
     frame in-scan at N=546 on a v5e), jnp gathers elsewhere."""
-    if _on_tpu():
+    if _on_tpu() and 2 * half + 1 <= 8:
+        # the Pallas kernel's in-register window selection caps W at 8;
+        # larger configured patches (align_half_patch > 2) fall back to the
+        # jnp gather path instead of asserting (ADVICE r4)
         from dr3_tpu.ops.pallas.lk_pallas import sample_patches_pallas
 
         return sample_patches_pallas(img, centers, half, interpret=False)

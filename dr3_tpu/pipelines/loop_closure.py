@@ -107,14 +107,54 @@ def thumbnail_descriptor(img: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
     return d / jnp.maximum(jnp.linalg.norm(d), 1e-6)
 
 
+def query_thumbnails(pyr_coarse: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """[R, D] place-recognition QUERY descriptors: the axis-aligned
+    thumbnail plus the coarse image rotated by +-k*step degrees about its
+    center. Database entries store only the axis-aligned thumbnail; max-
+    over-rotations at query time makes recognition tolerate in-plane
+    camera roll at revisit (the regime where the reference's ORB is
+    invariant and a single ZNCC thumbnail is not, round-4 verdict)."""
+    from dr3_tpu.ops.warp import bilinear_sample
+
+    thumbs = [thumbnail_descriptor(pyr_coarse, cfg.loop_thumb_h,
+                                   cfg.loop_thumb_w)]
+    R = max(int(cfg.loop_query_rotations), 1)
+    H, W = pyr_coarse.shape
+    if R > 1:
+        ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                              jnp.arange(W, dtype=jnp.float32), indexing="ij")
+        cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+        x0, y0 = xs - cx, ys - cy
+        import numpy as _np
+        for k in range(1, R // 2 + 1):
+            for sign in (1.0, -1.0):
+                a = sign * k * float(cfg.loop_query_rot_step_deg) * _np.pi / 180.0
+                c, s = float(_np.cos(a)), float(_np.sin(a))
+                coords = jnp.stack([c * x0 - s * y0 + cx,
+                                    s * x0 + c * y0 + cy], axis=-1)
+                rot, _ = bilinear_sample(pyr_coarse, coords[None], clamp=True)
+                thumbs.append(thumbnail_descriptor(
+                    rot[0], cfg.loop_thumb_h, cfg.loop_thumb_w))
+    return jnp.stack(thumbs)
+
+
 @functools.partial(jax.jit, static_argnums=(4,))
-def make_entry(pyr_coarse: jnp.ndarray, img0: jnp.ndarray, tracks: TrackState,
-               map_state: MapState, cfg: Config) -> LoopEntry:
-    """Build a database entry from the current keyframe's pyramid + tracks."""
+def make_entry(pyr_coarse: jnp.ndarray, img_desc: jnp.ndarray,
+               tracks: TrackState, map_state: MapState,
+               cfg: Config) -> LoopEntry:
+    """Build a database entry from the current keyframe's pyramid + tracks.
+
+    ``img_desc`` must be pyramid level ``cfg.loop_desc_level`` — corner
+    coordinates and the sample spread are rescaled to that level here, so
+    the descriptor footprint in full-res pixels is unchanged but the
+    samples read band-limited content (rotation-tolerant; see the config
+    field's rationale)."""
     thumb = thumbnail_descriptor(pyr_coarse, cfg.loop_thumb_h, cfg.loop_thumb_w)
-    desc = patch_descriptors(img0, tracks.px, tracks.valid,
+    scale = 1.0 / (2.0 ** cfg.loop_desc_level)
+    desc = patch_descriptors(img_desc, tracks.px * scale, tracks.valid,
                              patch=cfg.loop_desc_patch,
-                             spread=cfg.loop_desc_spread)
+                             spread=cfg.loop_desc_spread * scale,
+                             oriented=cfg.loop_oriented_desc)
     pt = jnp.maximum(tracks.point, 0)
     has = tracks.valid & (tracks.point >= 0) & map_state.valid[pt]
     xyz = jnp.where(has[:, None], map_state.xyz[pt], 0.0)
@@ -182,18 +222,20 @@ def db_compact(db: LoopDatabase, keep: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
-def insert_and_query(db: LoopDatabase, slot, pyr_coarse, img0,
+def insert_and_query(db: LoopDatabase, slot, pyr_coarse, img_desc,
                      tracks: TrackState, map_state: MapState, cfg: Config,
                      wxyz, t, frame_id):
     """Entry build + database append + place-recognition query as ONE
     device program (separately they are 3 dispatches + a fetch per
     keyframe — ~30 ms of relay round-trips on the remote-TPU host).
+    ``img_desc`` = pyramid level ``cfg.loop_desc_level`` (see make_entry).
     Returns (new_db, entry, packed [cand_as_float, score]); the temporal
     gap mask makes a self-match impossible, so insert-then-query is safe
     (same argument as the unfused path)."""
-    entry = make_entry(pyr_coarse, img0, tracks, map_state, cfg)
+    entry = make_entry(pyr_coarse, img_desc, tracks, map_state, cfg)
     db2 = db_add(db, slot, entry, wxyz, t, frame_id)
-    cand, score = db_query(db2, entry.thumb, frame_id,
+    q = query_thumbnails(pyr_coarse, cfg)
+    cand, score = db_query(db2, q, frame_id,
                            cfg.loop_min_gap_frames, cfg.loop_min_score)
     return db2, entry, jnp.stack([cand.astype(jnp.float32), score])
 
@@ -202,8 +244,11 @@ def insert_and_query(db: LoopDatabase, slot, pyr_coarse, img0,
 def db_query(db: LoopDatabase, thumb: jnp.ndarray, frame_id, min_gap,
              min_score):
     """Best loop candidate: argmax ZNCC over keyframes at least ``min_gap``
-    frames in the past. Returns (slot or -1, score)."""
-    sims = db.thumb @ thumb  # [C] — one matvec against the whole database
+    frames in the past. ``thumb`` may be [D] (one query) or [R, D]
+    (rotated query set, :func:`query_thumbnails`) — the score is the max
+    over queries per database row. Returns (slot or -1, score)."""
+    q = jnp.atleast_2d(thumb)                  # [R, D]
+    sims = jnp.max(db.thumb @ q.T, axis=1)     # [C] — one matmul, max over R
     ok = db.valid & (frame_id - db.frame_id >= min_gap)
     sims = jnp.where(ok, sims, -jnp.inf)
     best = jnp.argmax(sims)

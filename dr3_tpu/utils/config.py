@@ -76,6 +76,16 @@ class Config:
                                      # host dispatch; the host pays ONE
                                      # relay round-trip per batch instead of
                                      # several per frame. 1 = per-frame.
+    scan_speculation_depth: int = 2  # dispatched-but-unfetched scan batches
+                                     # kept in flight: each chains off the
+                                     # previous batch's device carry, so the
+                                     # relay's 50-300 ms per-fetch latency
+                                     # overlaps 1+ full batches of device
+                                     # work. 2 = round-4's single-spec
+                                     # pipelining; raise on high-latency
+                                     # relay windows. Events discard the
+                                     # whole chain (counted in
+                                     # MonoVO.n_discarded_batches).
     scan_transfer_uint8: bool = False  # ship frames to the device as uint8
                                      # (4x less relay upload traffic,
                                      # /255 on device). Lossless for 8-bit
@@ -98,7 +108,27 @@ class Config:
     loop_min_gap_frames: int = 100   # min temporal separation of candidates
     loop_min_score: float = 0.80     # thumbnail ZNCC acceptance gate
     loop_desc_patch: int = 8         # corner patch descriptor side
-    loop_desc_spread: float = 3.0    # px between descriptor samples
+    loop_desc_spread: float = 3.0    # FULL-RES px between descriptor samples
+    loop_desc_level: int = 2         # pyramid level descriptors sample from:
+                                     # the level-2 image is band-limited to
+                                     # ~4 full-res px, so the 3-px sample
+                                     # grid is alias-free — under in-plane
+                                     # rotation the resampled values stay on
+                                     # the same image content instead of
+                                     # hitting unrelated full-res noise
+                                     # pixels (level 0 ZNCC only matched
+                                     # exactly-axis-aligned revisits)
+    loop_oriented_desc: bool = True  # rotate each corner's descriptor grid
+                                     # to its intensity-centroid orientation
+                                     # (ORB's mechanism, ref frame.cpp:22-33)
+                                     # so loop verification survives in-
+                                     # plane camera roll at revisit
+    loop_query_rotations: int = 5    # place-recognition query thumbnails:
+                                     # 1 = axis-aligned only; R>1 also
+                                     # queries with the coarse image
+                                     # rotated +-(R//2)*step so the global
+                                     # descriptor finds rolled revisits
+    loop_query_rot_step_deg: float = 6.0
     loop_match_min_score: float = 0.70
     loop_min_inliers: int = 25       # PnP reprojection inliers to accept
     loop_pnp_iters: int = 15

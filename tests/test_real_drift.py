@@ -50,3 +50,47 @@ def test_real_palindrome_revisit_drift(kitti_seq):
     assert pct_loop[-1] < 1.0, pct_loop
     # closing loops must not make the revisit error meaningfully worse
     assert pct_loop[-1] <= 1.5 * pct_odo[-1] + 0.05, (pct_loop, pct_odo)
+
+
+@pytest.mark.slow
+def test_real_palindrome_perturbed_with_global_refine(kitti_seq):
+    """Perturbed revisits (gain/offset cycle + <=2 px crop-shift, periods
+    coprime to the content cycle) — loop closure must fire across NON-
+    identical revisits, and offline global refinement (the reference's
+    commented-out global_BA, src/slam.cpp:206) must not worsen the
+    revisit error (round-4 verdict items 5/6)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from tools.run_real_palindrome import (palindrome_indices, perturb_frames,
+                                           revisit_errors)
+
+    from dr3_tpu.models.camera import Pinhole
+    from dr3_tpu.pipelines.vo import MonoVO
+
+    base = list(kitti_seq)
+    idxs = palindrome_indices(54, len(base))
+    frames = perturb_frames([base[i] for i in idxs])
+
+    cfg = Config(loop_closure=True, loop_db_capacity=64,
+                 loop_min_gap_frames=10, loop_min_inliers=15,
+                 loop_cooldown_kfs=2, frames_per_dispatch=8)
+    vo = MonoVO(Pinhole.kitti(), cfg)
+    vo.process_batch(frames)
+    assert vo.n_relocalizations == 0
+    assert vo.n_loop_closures >= 1, "no closure across perturbed revisits"
+    errs = revisit_errors(vo.positions(), idxs)
+    pct = [e["err_pct"] for e in errs]
+    assert len(errs) == 2
+    # perturbation costs accuracy vs the exact-revisit gate (2%), but the
+    # drift stays bounded
+    assert max(pct) < 4.0, pct
+
+    costs = vo.global_refine(max_iters=8)
+    assert costs is not None
+    c0, c1 = costs
+    assert np.isfinite(c1) and c1 <= c0, costs
+    pct_g = [e["err_pct"] for e in revisit_errors(vo.positions(), idxs)]
+    assert np.all(np.isfinite(vo.positions()))
+    # refinement never worsens the revisit error materially
+    assert pct_g[-1] <= 1.25 * pct[-1] + 0.10, (pct_g, pct)

@@ -317,3 +317,59 @@ def test_intrinsics_recovery_pcg_many_cams(rng):
     assert abs(fx - float(INTR[0])) / float(INTR[0]) < 2e-3, fx
     assert abs(fy - float(INTR[1])) / float(INTR[1]) < 2e-3, fy
     assert float(res.final_cost) < float(res.initial_cost) * 1e-2
+
+
+def test_sorted_segment_sum_exact_and_precise(rng):
+    """sorted_segment_sum == f64 ground truth to ~f32 eps per segment, even
+    when the global prefix dwarfs individual segment sums (the case a plain
+    f32 cumsum-difference loses completely)."""
+    from dr3_tpu.ba.schur_core import sorted_segment_sum
+
+    O, P = 40000, 3000
+    seg = np.sort(rng.integers(0, P, O)).astype(np.int32)
+    # positive-heavy magnitudes: prefix grows to ~O * avg, the adversarial
+    # regime for cumsum-based segment sums
+    x = (rng.uniform(0.5, 2.0, (O, 3)) *
+         np.sign(rng.uniform(-0.2, 1.0, (O, 3)))).astype(np.float32)
+    want = np.zeros((P, 3), np.float64)
+    np.add.at(want, seg, x.astype(np.float64))
+    got = np.asarray(sorted_segment_sum(jnp.asarray(x), jnp.asarray(seg), P))
+    scale = np.abs(x).astype(np.float64)
+    denom = np.zeros((P, 3), np.float64)
+    np.add.at(denom, seg, scale)
+    err = np.abs(got - want) / np.maximum(denom, 1e-12)
+    assert err.max() < 1e-5, err.max()
+    # empty segments exactly zero
+    empty = np.setdiff1d(np.arange(P), seg)
+    if empty.size:
+        assert np.all(got[empty] == 0.0)
+
+
+def test_solve_schur_point_sorted_matches_unsorted(rng):
+    """point_sorted=True (compensated-scan reductions) reproduces the
+    scatter-add path on a sorted problem, both solve methods."""
+    p, *_ = synthetic_ba(rng, n_cams=6, n_pts=160, noise_px=0.3)
+    order = np.argsort(np.asarray(p.obs_pt), kind="stable")
+    p = p._replace(obs_cam=p.obs_cam[order], obs_pt=p.obs_pt[order],
+                   obs_uv=p.obs_uv[order], obs_w=p.obs_w[order])
+    res = linearize(p, 5.0)
+    active = (p.obs_w > 0) & res.valid
+    blocks = assemble_blocks(res.r, res.Jc, res.Jp, p.obs_cam, p.obs_pt,
+                             active, p.n_cams, p.n_points)
+    blocks_s = assemble_blocks(res.r, res.Jc, res.Jp, p.obs_cam, p.obs_pt,
+                               active, p.n_cams, p.n_points,
+                               point_sorted=True)
+    np.testing.assert_allclose(np.asarray(blocks_s.Hpp),
+                               np.asarray(blocks.Hpp), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(blocks_s.bp),
+                               np.asarray(blocks.bp), rtol=2e-5, atol=1e-4)
+    lam = jnp.asarray(1e-3)
+    for method in ("explicit", "pcg"):
+        dc0, dp0, _ = solve_schur(blocks, lam, p.cam_fixed, method=method,
+                                  cg_tol=1e-6)
+        dc1, dp1, _ = solve_schur(blocks_s, lam, p.cam_fixed, method=method,
+                                  cg_tol=1e-6, point_sorted=True)
+        np.testing.assert_allclose(np.asarray(dc1), np.asarray(dc0),
+                                   rtol=5e-3, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(dp1), np.asarray(dp0),
+                                   rtol=5e-3, atol=5e-4)

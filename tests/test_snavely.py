@@ -121,3 +121,115 @@ def test_snavely_bal_roundtrip(rng):
     np.testing.assert_allclose(bal2.cam_params, bal.cam_params, atol=1e-5)
     np.testing.assert_allclose(bal2.points, bal.points, atol=1e-6)
     np.testing.assert_allclose(bal2.obs_uv, bal.obs_uv, atol=1e-5)
+
+
+def test_assemble_direct_matches_generic(rng):
+    """The fused scalarized linearize+assembly (_assemble_direct — the
+    BAL-scale fast path, round-5) must reproduce the generic
+    linearize + assemble_blocks normal equations to f32 rounding,
+    including robust weights, invalid-observation masking, and the cost."""
+    from dr3_tpu.ba.schur_core import assemble_blocks, cam_onehot_matrix
+    from dr3_tpu.ba.snavely import _assemble_direct, linearize
+
+    d = _rand_bal(rng, n_cams=5, n_pts=80, noise=6.0, pt_noise=0.2)
+    p = bal_to_snavely(d)
+    # exercise the masking: zero some weights, blow up one point
+    w = np.ones(p.n_obs, np.float32)
+    w[::7] = 0.0
+    pts = np.array(p.points)
+    pts[3] = np.array([1e18, 1e18, 1e18])
+    p = p._replace(obs_w=jnp.asarray(w), points=jnp.asarray(pts))
+
+    hd = 2.0
+    E = cam_onehot_matrix(p.obs_cam, p.n_cams)
+    blocks_f, cost_f = _assemble_direct(p, E, hd)
+
+    res = linearize(p, hd)
+    active = (p.obs_w > 0) & res.valid
+    blocks_g = assemble_blocks(res.r, res.Jc, res.Jp, p.obs_cam, p.obs_pt,
+                               active, p.n_cams, p.n_points)
+
+    np.testing.assert_allclose(float(cost_f), float(res.cost),
+                               rtol=1e-5, atol=1e-4)
+    O, P = p.n_obs, p.n_points
+    pairs = (("Hcc", np.asarray(blocks_f.Hcc)),
+             ("bc", np.asarray(blocks_f.bc)),
+             ("Hpp", np.asarray(blocks_f.Hpp9).reshape(P, 3, 3)),
+             ("bp", np.asarray(blocks_f.bp)),
+             ("AtB", np.asarray(blocks_f.AtB2).reshape(O, 9, 3)))
+    for name, a in pairs:
+        b = np.asarray(getattr(blocks_g, name))
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-5 * scale,
+                                   err_msg=name)
+    np.testing.assert_array_equal(np.asarray(blocks_f.active),
+                                  np.asarray(active))
+
+
+def test_solve_pcg_direct_matches_generic(rng):
+    """The scalarized PCG solve must reproduce schur_core's pcg path
+    (same preconditioner, same termination) on identical blocks."""
+    from dr3_tpu.ba.schur_core import (assemble_blocks, cam_onehot_matrix,
+                                       solve_schur)
+    from dr3_tpu.ba.snavely import (_assemble_direct, _solve_pcg_direct,
+                                    linearize)
+
+    d = _rand_bal(rng, n_cams=6, n_pts=100, noise=3.0, pt_noise=0.1)
+    p = bal_to_snavely(d)
+    hd = 2.0
+    lam = jnp.asarray(1e-3)
+    E = cam_onehot_matrix(p.obs_cam, p.n_cams)
+    blocks_f, _ = _assemble_direct(p, E, hd)
+    dc_f, dp_f = _solve_pcg_direct(blocks_f, lam, p.cam_fixed, E,
+                                   cg_iters=200, cg_tol=1e-7, q_eta=0.0)
+
+    res = linearize(p, hd)
+    active = (p.obs_w > 0) & res.valid
+    blocks_g = assemble_blocks(res.r, res.Jc, res.Jp, p.obs_cam, p.obs_pt,
+                               active, p.n_cams, p.n_points)
+    dc_g, dp_g, _ = solve_schur(blocks_g, lam, p.cam_fixed, method="pcg",
+                                cg_iters=200, cg_tol=1e-7, q_eta=0.0)
+    scale_c = np.abs(np.asarray(dc_g)).max() + 1e-9
+    scale_p = np.abs(np.asarray(dp_g)).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(dc_f), np.asarray(dc_g),
+                               atol=5e-3 * scale_c)
+    np.testing.assert_allclose(np.asarray(dp_f), np.asarray(dp_g),
+                               atol=5e-3 * scale_p)
+
+
+def test_solve_explicit_direct_matches_generic(rng):
+    """The square-root dense-Schur fast path (Z^T Z factorization) must
+    reproduce schur_core's explicit DENSE_SCHUR step on identical blocks,
+    and the 'auto'-routed solver must reach the same final cost as pcg."""
+    from dr3_tpu.ba.schur_core import assemble_blocks, cam_onehot_matrix, \
+        solve_schur
+    from dr3_tpu.ba.snavely import (_assemble_direct, _solve_explicit_direct,
+                                    linearize)
+
+    d = _rand_bal(rng, n_cams=6, n_pts=100, noise=3.0, pt_noise=0.1)
+    p = bal_to_snavely(d)
+    hd = 2.0
+    lam = jnp.asarray(1e-3)
+    E = cam_onehot_matrix(p.obs_cam, p.n_cams)
+    blocks_f, _ = _assemble_direct(p, E, hd)
+    dc_f, dp_f = _solve_explicit_direct(blocks_f, lam, p.cam_fixed, E)
+
+    res = linearize(p, hd)
+    active = (p.obs_w > 0) & res.valid
+    blocks_g = assemble_blocks(res.r, res.Jc, res.Jp, p.obs_cam, p.obs_pt,
+                               active, p.n_cams, p.n_points)
+    dc_g, dp_g, _ = solve_schur(blocks_g, lam, p.cam_fixed,
+                                method="explicit")
+    scale_c = np.abs(np.asarray(dc_g)).max() + 1e-9
+    scale_p = np.abs(np.asarray(dp_g)).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(dc_f), np.asarray(dc_g),
+                               atol=2e-3 * scale_c)
+    np.testing.assert_allclose(np.asarray(dp_f), np.asarray(dp_g),
+                               atol=2e-3 * scale_p)
+
+    # cost-trajectory parity: auto (-> zexplicit here) vs pcg
+    r_z = bundle_adjust_snavely(p, 10, huber_delta=hd, solver="auto")
+    r_p = bundle_adjust_snavely(p, 10, huber_delta=hd, solver="pcg",
+                                cg_tol=1e-6, q_eta=0.0)
+    cz, cp = float(r_z.final_cost), float(r_p.final_cost)
+    assert cz <= cp * 1.05 + 1e-6, (cz, cp)

@@ -10,6 +10,19 @@ SURVEY §4: the fixtures are the only real data, used quantitatively here,
 round-3 verdict missing item 4).
 
     python tools/run_real_palindrome.py --frames 180 [--cpu] [--no-loop]
+        [--perturb] [--global-refine]
+
+``--perturb`` makes every revisit NEAR- but not EXACTLY-identical (round-4
+verdict: exact-content revisits are the easiest loop-closure case): each
+frame gets a deterministic photometric excursion (gain cycling 0.82-1.0 +
+offset, periods coprime to the 18-frame content period) and an integer
+crop-shift of up to +-2 px, so place recognition and PnP verification must
+work across appearance and sampling changes.
+
+``--global-refine`` runs the offline global bundle adjustment
+(MonoVO.global_refine — the reference's commented-out global_BA,
+src/slam.cpp:206) after the sequence and reports the revisit errors
+before AND after, proving the refinement earns its keep on real imagery.
 
 Prints one JSON line with per-revisit errors and the summary drift
 percentage, with and within the configured loop-closure setting.
@@ -53,6 +66,23 @@ def revisit_errors(positions: np.ndarray, idxs: list[int]):
     return out
 
 
+def perturb_frames(frames: list[np.ndarray]) -> list[np.ndarray]:
+    """Deterministic per-frame photometric gain/offset + integer crop-shift
+    (wrap-roll; <=2 px). Periods 97/53 are coprime to the 18-frame content
+    cycle, so every revisit sees a different perturbation than its first
+    visit."""
+    rng = np.random.default_rng(7)
+    out = []
+    for j, f in enumerate(frames):
+        g = 1.0 - 0.09 * (1.0 + np.sin(2.0 * np.pi * j / 97.0))
+        b = 0.04 * np.sin(2.0 * np.pi * j / 53.0)
+        dx = int(rng.integers(-2, 3))
+        dy = int(rng.integers(-2, 3))
+        img = np.roll(f, (dy, dx), axis=(0, 1))
+        out.append(np.clip(img * g + b, 0.0, 1.0).astype(np.float32))
+    return out
+
+
 def run(frames, cam, cfg):
     from dr3_tpu.pipelines.vo import MonoVO
 
@@ -69,6 +99,9 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--perturb", action="store_true")
+    ap.add_argument("--global-refine", action="store_true")
+    ap.add_argument("--refine-iters", type=int, default=10)
     args = ap.parse_args(argv)
 
     from dr3_tpu.utils.cache import enable_persistent_cache
@@ -87,6 +120,8 @@ def main(argv=None):
     base = [np.asarray(seq.frame(i), np.float32) for i in range(len(seq))]
     idxs = palindrome_indices(args.frames, len(base))
     frames = [base[i] for i in idxs]
+    if args.perturb:
+        frames = perturb_frames(frames)
 
     cfg = Config(loop_closure=not args.no_loop, loop_db_capacity=64,
                  loop_min_gap_frames=10, loop_min_inliers=15,
@@ -98,16 +133,29 @@ def main(argv=None):
     out = {
         "frames": args.frames,
         "loop_closure": not args.no_loop,
+        "perturbed": args.perturb,
         "fps": round(args.frames / dt, 2),
         "keyframes": vo.kf_count,
         "loop_closures": vo.n_loop_closures,
         "relocalizations": vo.n_relocalizations,
+        "discarded_batches": vo.n_discarded_batches,
         "n_revisits": len(errs),
         "revisit_err_pct_final": pct[-1] if pct else None,
         "revisit_err_pct_max": max(pct) if pct else None,
         "revisit_err_pct_mean": round(float(np.mean(pct)), 3) if pct else None,
         "revisits": errs[-5:],
     }
+    if args.global_refine:
+        t0 = time.perf_counter()
+        costs = vo.global_refine(max_iters=args.refine_iters)
+        out["global_refine_sec"] = round(time.perf_counter() - t0, 2)
+        if costs is not None:
+            errs_g = revisit_errors(vo.positions(), idxs)
+            pct_g = [e["err_pct"] for e in errs_g]
+            out["global_refine_cost"] = [round(c, 2) for c in costs]
+            out["revisit_err_pct_final_refined"] = pct_g[-1] if pct_g else None
+            out["revisit_err_pct_mean_refined"] = (
+                round(float(np.mean(pct_g)), 3) if pct_g else None)
     print(json.dumps(out))
     return 0
 
