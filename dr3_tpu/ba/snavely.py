@@ -369,58 +369,56 @@ def _assemble_direct(p: SnavelyProblem, E: jnp.ndarray, huber_delta: float):
     Jp_u = tuple(jnp.where(valid, c, 0.0) * sw for c in Jp_u)
     Jp_v = tuple(jnp.where(valid, c, 0.0) * sw for c in Jp_v)
 
-    # pin the scalar chain: every product column below reads all 26 of
-    # these, and without the barrier XLA re-derives the whole chain
-    # (quaternion rotation onward) inside several consumer kernels —
-    # measured 227 ms for the full assembly vs ~45 ms for its parts
-    pinned = jax.lax.optimization_barrier(Jc_u + Jc_v + Jp_u + Jp_v
-                                          + (ru, rv))
-    Jc_u, Jc_v = pinned[0:9], pinned[9:18]
-    Jp_u, Jp_v = pinned[18:21], pinned[21:24]
-    ru, rv = pinned[24], pinned[25]
-
     # ---- normal-equation blocks ----
-    # ONE merged [O, 129] rank-2 product stack: AtA (81) | Atr (9) |
-    # BtB+Btr (12) | AtB (27). Camera-keyed columns reduce through ONE
-    # exact one-hot MXU matmul, point-keyed ones through one [O, 12]
-    # segment scatter, and the AtB slice stays rank-2 (reshaping to
-    # [O, 9, 3] at a program boundary relayouts into (8,128)-padded tiles
-    # — measured 167 ms alone on a v5e).
+    # Two rank-2 product stacks: [O, 90] camera-keyed (AtA | Atr) reduced
+    # through ONE exact one-hot MXU matmul, and [O, 12] point-keyed
+    # (BtB | Btr) through one segment scatter. The coupling W = Jc^T Jp is
+    # NEVER materialized: the solves consume the factored J columns
+    # directly (every AtB product is rank-2 through the residual space),
+    # which keeps all per-observation tensors out of padded rank-3
+    # layouts.
     feats = [Jc_u[i] * Jc_u[j] + Jc_v[i] * Jc_v[j]
              for i in range(9) for j in range(9)]               # AtA flat
     feats += [Jc_u[i] * ru + Jc_v[i] * rv for i in range(9)]    # Atr
-    feats += [Jp_u[i] * Jp_u[j] + Jp_v[i] * Jp_v[j]
-              for i in range(3) for j in range(3)]              # BtB flat
-    feats += [Jp_u[i] * ru + Jp_v[i] * rv for i in range(3)]    # Btr
-    feats += [Jc_u[i] * Jp_u[j] + Jc_v[i] * Jp_v[j]
-              for i in range(9) for j in range(3)]              # AtB flat
-    stack = jnp.stack(feats, axis=-1)                           # [O, 129]
+    cam_stack = jnp.stack(feats, axis=-1)                       # [O, 90]
 
-    red = jax.lax.dot_general(E, stack[:, :90], (((0,), (0,)), ((), ())),
+    red = jax.lax.dot_general(E, cam_stack, (((0,), (0,)), ((), ())),
                               precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)  # [K, 90]
     Hcc = red[:, :81].reshape(K, 9, 9)
     bc = -red[:, 81:90]
 
-    pred = jax.ops.segment_sum(stack[:, 90:102], op,
+    pt_feats = [Jp_u[i] * Jp_u[j] + Jp_v[i] * Jp_v[j]
+                for i in range(3) for j in range(3)]            # BtB flat
+    pt_feats += [Jp_u[i] * ru + Jp_v[i] * rv for i in range(3)]  # Btr
+    pred = jax.ops.segment_sum(jnp.stack(pt_feats, axis=-1), op,
                                num_segments=P)                  # [P, 12]
     Hpp9 = pred[:, :9]                                          # [P, 9]
     bp = -pred[:, 9:12]
 
-    AtB2 = stack[:, 102:129]                                    # [O, 27]
-
-    return DirectBlocks(Hcc=Hcc, bc=bc, Hpp9=Hpp9, bp=bp, AtB2=AtB2,
+    return DirectBlocks(Hcc=Hcc, bc=bc, Hpp9=Hpp9, bp=bp,
+                        Jcu=Jc_u, Jcv=Jc_v, Jpu=Jp_u, Jpv=Jp_v,
                         obs_cam=oc, obs_pt=op, active=valid), cost
 
 
 class DirectBlocks(NamedTuple):
-    """Rank-2 normal-equation blocks for the scalarized BAL fast path."""
+    """Rank-2 normal-equation blocks for the scalarized BAL fast path.
+
+    The camera-point coupling W = Jc^T Jp is carried FACTORED as the
+    weighted Jacobian columns (tuples of [O] vectors, u/v residual rows):
+    every product the solves need contracts through the 2-dim residual
+    space, e.g. (W x)_o = Jp^T (Jc x)_o with (Jc x) just two [O] scalars
+    — so no [O, 27] coupling array (let alone a padded rank-3 one) is
+    ever materialized."""
 
     Hcc: jnp.ndarray     # [K, 9, 9]
     bc: jnp.ndarray      # [K, 9]
     Hpp9: jnp.ndarray    # [P, 9] row-major 3x3 blocks
     bp: jnp.ndarray      # [P, 3]
-    AtB2: jnp.ndarray    # [O, 27] row-major 9x3 blocks
+    Jcu: tuple           # 9 x [O] camera-Jacobian columns, u row
+    Jcv: tuple           # 9 x [O], v row
+    Jpu: tuple           # 3 x [O] point-Jacobian columns, u row
+    Jpv: tuple           # 3 x [O], v row
     obs_cam: jnp.ndarray
     obs_pt: jnp.ndarray
     active: jnp.ndarray
@@ -500,39 +498,47 @@ def _solve_explicit_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
     """
     K = blocks.Hcc.shape[0]
     P = blocks.Hpp9.shape[0]
-    A = blocks.AtB2                                     # [O, 27]
-    O = A.shape[0]
     op = blocks.obs_pt
     oc = blocks.obs_cam
+    Jcu, Jcv = blocks.Jcu, blocks.Jcv
+    Jpu, Jpv = blocks.Jpu, blocks.Jpv
+    O = Jcu[0].shape[0]
+    dtype = Jcu[0].dtype
 
-    eye9 = jnp.eye(9, dtype=A.dtype)
+    eye9 = jnp.eye(9, dtype=dtype)
     diag_c = jnp.diagonal(blocks.Hcc, axis1=-2, axis2=-1)
     Hcc_d = blocks.Hcc + eye9 * (lam * diag_c + 1e-8)[..., None, :]
     Hinv9 = _inv3x3_flat(blocks.Hpp9, lam)              # [P, 9]
     L6 = _chol3_flat(Hinv9)                             # [P, 6]
 
     Lo = L6[op]                                         # [O, 6] one gather
-    # Z_o = L^T (AtB_o)^T viewed [3, 9]: Z[r, c] = sum_j L[j, r] A[c*3+j]
+    # Z_o = L^T (Jp^T Jc)_o: with AtB[c, j] = Jcu_c Jpu_j + Jcv_c Jpv_j,
+    # Z[r, c] = sum_j L[j, r] AtB[c, j] = Jcu_c * au_r + Jcv_c * av_r
+    # where au_r = sum_j L[j, r] Jpu_j — the coupling factors through the
+    # 2-dim residual space, so Z builds from 6 precombined [O] vectors.
+    # L (lower) columns: L[:,0]=(l00,l10,l20), L[:,1]=(0,l11,l21),
+    # L[:,2]=(0,0,l22)
     l = [Lo[:, 0], Lo[:, 1], Lo[:, 2], Lo[:, 3], Lo[:, 4], Lo[:, 5]]
-    # L (lower) columns: L[:,0]=(l00,l10,l20), L[:,1]=(0,l11,l21), L[:,2]=(0,0,l22)
-    zcols = []
-    for r in range(3):
-        for c in range(9):
-            if r == 0:
-                v = l[0] * A[:, 3 * c + 0] + l[1] * A[:, 3 * c + 1] \
-                    + l[3] * A[:, 3 * c + 2]
-            elif r == 1:
-                v = l[2] * A[:, 3 * c + 1] + l[4] * A[:, 3 * c + 2]
-            else:
-                v = l[5] * A[:, 3 * c + 2]
-            zcols.append(v)
-    zupd = jnp.stack(zcols, axis=-1)                    # [O, 27]
+    au = (l[0] * Jpu[0] + l[1] * Jpu[1] + l[3] * Jpu[2],
+          l[2] * Jpu[1] + l[4] * Jpu[2],
+          l[5] * Jpu[2])
+    av = (l[0] * Jpv[0] + l[1] * Jpv[1] + l[3] * Jpv[2],
+          l[2] * Jpv[1] + l[4] * Jpv[2],
+          l[5] * Jpv[2])
+    zupd = jnp.stack([Jcu[c] * au[r] + Jcv[c] * av[r]
+                      for r in range(3) for c in range(9)],
+                     axis=-1)                           # [O, 27]
 
     rows = 3 * op[:, None] + jnp.arange(3, dtype=op.dtype)[None, :]
     cols = 9 * oc[:, None] + jnp.arange(9, dtype=oc.dtype)[None, :]
     flat_idx = (rows[:, :, None] * (9 * K) + cols[:, None, :]).reshape(O, 27)
-    Z = jnp.zeros((3 * P * 9 * K,), A.dtype) \
-        .at[flat_idx.reshape(-1)].add(zupd.reshape(-1)) \
+    # indices are in bounds by construction (clipped obs ids); must stay
+    # an ADD, not a unique-set: zero-weight padding rows carry clipped
+    # (cam, point) ids that can collide with real observations — their
+    # zupd values are exactly 0, so accumulation is always safe
+    Z = jnp.zeros((3 * P * 9 * K,), dtype) \
+        .at[flat_idx.reshape(-1)].add(zupd.reshape(-1),
+                                      mode="promise_in_bounds") \
         .reshape(3 * P, 9 * K)
     S_corr = jax.lax.dot_general(Z, Z, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -543,10 +549,12 @@ def _solve_explicit_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
         .add(Hcc_d).reshape(9 * K, 9 * K)
 
     # rhs_c = bc - by_cam(Jc^T Jp Hinv bp), factored through the 2-vector
-    # s = Jp Hinv bp per observation
+    # t = Jp Hinv bp per observation
     bp_o = _mv3(Hinv9, blocks.bp)[op]                   # [O, 3] one gather
-    su = A[:, 0::3] * bp_o[:, 0:1] + A[:, 1::3] * bp_o[:, 1:2] \
-        + A[:, 2::3] * bp_o[:, 2:3]                     # [O, 9] = W Hinv bp
+    tu = Jpu[0] * bp_o[:, 0] + Jpu[1] * bp_o[:, 1] + Jpu[2] * bp_o[:, 2]
+    tv = Jpv[0] * bp_o[:, 0] + Jpv[1] * bp_o[:, 1] + Jpv[2] * bp_o[:, 2]
+    su = jnp.stack([Jcu[c] * tu + Jcv[c] * tv for c in range(9)],
+                   axis=-1)                             # [O, 9] = W Hinv bp
     rhs_c = blocks.bc - jax.lax.dot_general(
         E, su, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -570,14 +578,16 @@ def _solve_explicit_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
         xs = xs * dinv
     dc = xs.reshape(K, 9)
 
-    # back-substitute points: dp = Hinv (bp - W^T dc)
-    dco = jax.lax.dot_general(E, dc * (~cam_fixed)[:, None].astype(A.dtype),
+    # back-substitute points: dp = Hinv (bp - W^T dc), factored:
+    # (W^T dc)_o = Jp^T (Jc dc)_o with (Jc dc) two [O] scalars
+    dco = jax.lax.dot_general(E, dc * (~cam_fixed)[:, None].astype(dtype),
                               (((1,), (0,)), ((), ())),
                               precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)  # [O, 9]
-    u = jnp.stack([
-        sum(A[:, 3 * c + ll] * dco[:, c] for c in range(9))
-        for ll in range(3)], axis=-1)
+    su2 = sum(Jcu[c] * dco[:, c] for c in range(9))
+    sv2 = sum(Jcv[c] * dco[:, c] for c in range(9))
+    u = jnp.stack([Jpu[ll] * su2 + Jpv[ll] * sv2 for ll in range(3)],
+                  axis=-1)
     up = jax.ops.segment_sum(u, op, num_segments=P)
     dp = _mv3(Hinv9, blocks.bp - up)
     return dc, dp
@@ -596,19 +606,15 @@ def _solve_pcg_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
 
     K = blocks.Hcc.shape[0]
     P = blocks.Hpp9.shape[0]
-    A = blocks.AtB2                                     # [O, 27]
     op = blocks.obs_pt
+    Jcu, Jcv = blocks.Jcu, blocks.Jcv
+    Jpu, Jpv = blocks.Jpu, blocks.Jpv
+    dtype = Jcu[0].dtype
 
-    eye9 = jnp.eye(9, dtype=A.dtype)
+    eye9 = jnp.eye(9, dtype=dtype)
     diag_c = jnp.diagonal(blocks.Hcc, axis1=-2, axis2=-1)
     Hcc_d = blocks.Hcc + eye9 * (lam * diag_c + 1e-8)[..., None, :]
     Hinv9 = _inv3x3_flat(blocks.Hpp9, lam)              # [P, 9]
-
-    Hio = Hinv9[op]                                     # [O, 9] one gather
-    # WHinv[o, 3i+l] = sum_j A[o, 3i+j] * Hio[o, 3j+l]
-    WH = jnp.stack([
-        sum(A[:, 3 * i + j] * Hio[:, 3 * j + l] for j in range(3))
-        for i in range(9) for l in range(3)], axis=-1)  # [O, 27]
 
     def by_cam(stack):
         return jax.lax.dot_general(E, stack, (((0,), (0,)), ((), ())),
@@ -620,35 +626,50 @@ def _solve_pcg_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
                                    precision=jax.lax.Precision.HIGHEST,
                                    preferred_element_type=jnp.float32)
 
-    bp_o = blocks.bp[op]                                # [O, 3] one gather
-    rhs_o = jnp.stack([
-        sum(WH[:, 3 * c + l] * bp_o[:, l] for l in range(3))
-        for c in range(9)], axis=-1)                    # [O, 9]
+    # rhs_c = bc - by_cam(W Hinv bp), factored through t = Jp (Hinv bp)
+    bp_o = _mv3(Hinv9, blocks.bp)[op]                   # [O, 3] one gather
+    tu = Jpu[0] * bp_o[:, 0] + Jpu[1] * bp_o[:, 1] + Jpu[2] * bp_o[:, 2]
+    tv = Jpv[0] * bp_o[:, 0] + Jpv[1] * bp_o[:, 1] + Jpv[2] * bp_o[:, 2]
+    rhs_o = jnp.stack([Jcu[c] * tu + Jcv[c] * tv for c in range(9)],
+                      axis=-1)                          # [O, 9]
     rhs_c = blocks.bc - by_cam(rhs_o)
 
-    # SCHUR_JACOBI preconditioner: block diagonal of S
+    # SCHUR_JACOBI preconditioner: block diagonal of S. Per observation
+    # AtB Hinv AtB^T = Jc^T (Jp Hinv Jp^T) Jc with the middle a 2x2
+    # (a b; b g2) of [O] scalars.
+    Hio = Hinv9[op]                                     # [O, 9] one gather
+    hu = [sum(Jpu[j] * Hio[:, 3 * j + l] for j in range(3))
+          for l in range(3)]
+    hv = [sum(Jpv[j] * Hio[:, 3 * j + l] for j in range(3))
+          for l in range(3)]
+    a2 = sum(hu[l] * Jpu[l] for l in range(3))
+    b2 = sum(hu[l] * Jpv[l] for l in range(3))
+    g2 = sum(hv[l] * Jpv[l] for l in range(3))
     mm = jnp.stack([
-        sum(WH[:, 3 * i + l] * A[:, 3 * k + l] for l in range(3))
+        a2 * Jcu[i] * Jcu[k] + b2 * (Jcu[i] * Jcv[k] + Jcv[i] * Jcu[k])
+        + g2 * Jcv[i] * Jcv[k]
         for i in range(9) for k in range(9)], axis=-1)  # [O, 81]
     M = Hcc_d - by_cam(mm).reshape(K, 9, 9)
     eyeC = jnp.eye(9, dtype=M.dtype)
     M = jnp.where(cam_fixed[:, None, None], eyeC, M) + 1e-7 * eyeC
 
-    keep = (~cam_fixed).astype(A.dtype)[:, None]        # [K, 1]
+    keep = (~cam_fixed).astype(dtype)[:, None]          # [K, 1]
     fixed_c = 1.0 - keep
 
     def s_mv(xc):
         xk = xc * keep
         xo = to_obs(xk)                                 # [O, 9]
-        u = jnp.stack([
-            sum(A[:, 3 * c + l] * xo[:, c] for c in range(9))
-            for l in range(3)], axis=-1)                # [O, 3]
+        su = sum(Jcu[c] * xo[:, c] for c in range(9))
+        sv = sum(Jcv[c] * xo[:, c] for c in range(9))
+        u = jnp.stack([Jpu[l] * su + Jpv[l] * sv for l in range(3)],
+                      axis=-1)                          # [O, 3]
         up = jax.ops.segment_sum(u, op, num_segments=P)  # [P, 3] scatter
         v = _mv3(Hinv9, up)
         vo = v[op]                                      # [O, 3] gather
-        yo = jnp.stack([
-            sum(A[:, 3 * c + l] * vo[:, l] for l in range(3))
-            for c in range(9)], axis=-1)                # [O, 9]
+        tu2 = sum(Jpu[l] * vo[:, l] for l in range(3))
+        tv2 = sum(Jpv[l] * vo[:, l] for l in range(3))
+        yo = jnp.stack([Jcu[c] * tu2 + Jcv[c] * tv2 for c in range(9)],
+                       axis=-1)                         # [O, 9]
         y = jnp.einsum("kcd,kd->kc", Hcc_d, xk) - by_cam(yo)
         return y * keep + xc * fixed_c
 
@@ -692,11 +713,12 @@ def _solve_pcg_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
     _, dc, _, _, _, _, _ = jax.lax.while_loop(
         cond, step, (jnp.asarray(0), x0, r0, p0, rz0, zero_q, zero_q))
 
-    # back-substitute points
+    # back-substitute points (factored as in s_mv)
     dco = to_obs(dc * keep)                             # [O, 9]
-    u = jnp.stack([
-        sum(A[:, 3 * c + l] * dco[:, c] for c in range(9))
-        for l in range(3)], axis=-1)
+    su3 = sum(Jcu[c] * dco[:, c] for c in range(9))
+    sv3 = sum(Jcv[c] * dco[:, c] for c in range(9))
+    u = jnp.stack([Jpu[l] * su3 + Jpv[l] * sv3 for l in range(3)],
+                  axis=-1)
     up = jax.ops.segment_sum(u, op, num_segments=P)
     dp = _mv3(Hinv9, blocks.bp - up)
     return dc, dp

@@ -152,11 +152,16 @@ def test_assemble_direct_matches_generic(rng):
     np.testing.assert_allclose(float(cost_f), float(res.cost),
                                rtol=1e-5, atol=1e-4)
     O, P = p.n_obs, p.n_points
+    # rebuild the coupling from the factored columns: AtB = Jc^T Jp
+    atb = np.stack(
+        [np.asarray(blocks_f.Jcu[i]) * np.asarray(blocks_f.Jpu[j])
+         + np.asarray(blocks_f.Jcv[i]) * np.asarray(blocks_f.Jpv[j])
+         for i in range(9) for j in range(3)], axis=-1).reshape(O, 9, 3)
     pairs = (("Hcc", np.asarray(blocks_f.Hcc)),
              ("bc", np.asarray(blocks_f.bc)),
              ("Hpp", np.asarray(blocks_f.Hpp9).reshape(P, 3, 3)),
              ("bp", np.asarray(blocks_f.bp)),
-             ("AtB", np.asarray(blocks_f.AtB2).reshape(O, 9, 3)))
+             ("AtB", atb))
     for name, a in pairs:
         b = np.asarray(getattr(blocks_g, name))
         scale = np.abs(b).max() + 1e-6
