@@ -426,12 +426,26 @@ class DirectBlocks(NamedTuple):
 
 def _inv3x3_flat(h9, lam):
     """Damped inverse of symmetric 3x3 blocks stored as [P, 9] columns —
-    scalarized adjugate/determinant (no [P, 3, 3] rank-3 arrays)."""
+    scalarized adjugate/determinant (no [P, 3, 3] rank-3 arrays).
+
+    Each block is normalized by its max |entry| first: real-structure
+    Hpp blocks reach ~1e13, whose raw determinant (~|H|^3 > 3.4e38)
+    overflows f32 to inf - inf = NaN — which then silently rejected
+    EVERY LM step through the finite-parameter guard (round-5 chip
+    debugging on the exported 221-camera problem). inv(H) = inv(H/s)/s.
+    """
     a = h9[:, 0] * (1.0 + lam) + 1e-8
     e = h9[:, 4] * (1.0 + lam) + 1e-8
     i = h9[:, 8] * (1.0 + lam) + 1e-8
     b, c, f = h9[:, 1], h9[:, 2], h9[:, 5]
     d, g, h = h9[:, 3], h9[:, 6], h9[:, 7]
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(jnp.stack([a, b, c, d, e, f, g, h, i], axis=-1)),
+                axis=-1), 1e-30)
+    inv_s = 1.0 / scale
+    a, b, c = a * inv_s, b * inv_s, c * inv_s
+    d, e, f = d * inv_s, e * inv_s, f * inv_s
+    g, h, i = g * inv_s, h * inv_s, i * inv_s
     A00 = e * i - f * h
     A01 = c * h - b * i
     A02 = b * f - c * e
@@ -442,7 +456,7 @@ def _inv3x3_flat(h9, lam):
     A21 = b * g - a * h
     A22 = a * e - b * d
     det = a * A00 + b * A10 + c * A20
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    inv_det = inv_s / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
     cols = [A00, A01, A02, A10, A11, A12, A20, A21, A22]
     return jnp.stack([x * inv_det for x in cols], axis=-1)    # [P, 9]
 
@@ -571,9 +585,16 @@ def _solve_explicit_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
         S = S * dinv[:, None] * dinv[None, :]
         rhs = rhs * dinv
     S = S + 1e-6 * jnp.eye(S.shape[0], dtype=S.dtype)
-    Lc = jnp.linalg.cholesky(S)
-    y = jax.scipy.linalg.solve_triangular(Lc, rhs, lower=True)
-    xs = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False)
+    # LU, not Cholesky: real-structure BAL problems (f/k1/k2 Jacobians
+    # near-parallel, weakly-observed cameras) push the Jacobi-scaled S
+    # past f32 PSD-ness at small lambda — chip Cholesky then NaNs EVERY
+    # LM iteration and the solve silently stalls at the initial cost
+    # (observed round 5 on the exported 221-cam problem). LU gives a
+    # finite step whose quality the LM accept test judges; the NaN guard
+    # turns any residual failure into a rejected (zero) step so the
+    # lambda schedule can recover.
+    xs = jnp.linalg.solve(S, rhs)
+    xs = jnp.where(jnp.isfinite(xs), xs, 0.0)
     if jacobi:
         xs = xs * dinv
     dc = xs.reshape(K, 9)
@@ -679,7 +700,14 @@ def _solve_pcg_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
     def dot(a, b):
         return jnp.sum(a * b)
 
-    b = rhs_c * keep
+    # solve in a normalized scale: |rhs| entries reach ~1e8 on real
+    # problems and dot(b, b) then overflows f32 to inf, which makes the
+    # very first CG residual check (|r|^2 > tol^2 |b|^2 -> inf > inf)
+    # false — the loop exits with a silent zero camera step (observed
+    # round 5 on chip). CG is linear, so solve S x' = b/s and rescale.
+    b_raw = rhs_c * keep
+    s_b = jnp.maximum(jnp.max(jnp.abs(b_raw)), 1e-30)
+    b = b_raw / s_b
     bs = dot(b, b)
     x0 = jnp.zeros_like(b)
     r0 = b
@@ -712,6 +740,8 @@ def _solve_pcg_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
     zero_q = jnp.asarray(0.0, b.dtype)
     _, dc, _, _, _, _, _ = jax.lax.while_loop(
         cond, step, (jnp.asarray(0), x0, r0, p0, rz0, zero_q, zero_q))
+    dc = dc * s_b                                       # undo the b scaling
+    dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
 
     # back-substitute points (factored as in s_mv)
     dco = to_obs(dc * keep)                             # [O, 9]

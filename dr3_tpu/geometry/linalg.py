@@ -89,7 +89,15 @@ def chol_solve_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form batched 3x3 inverse (adjugate / det) — no LU dispatch."""
+    """Closed-form batched 3x3 inverse (adjugate / det) — no LU dispatch.
+
+    Blocks normalize by their max |entry| first: BA Hpp blocks reach
+    ~1e13 in real problems and the raw determinant (~|H|^3) overflows
+    f32 to inf - inf = NaN (found round 5 on a real-structure BAL
+    export). inv(M) = inv(M/s)/s."""
+    scale = jnp.maximum(jnp.max(jnp.abs(m), axis=(-2, -1), keepdims=True),
+                        1e-30)
+    m = m / scale
     a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
     d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
     g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
@@ -103,4 +111,4 @@ def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
         B, a * i - c * g, -(a * f - c * d),
         C, -(a * h - b * g), a * e - b * d,
     ], axis=-1).reshape(m.shape)
-    return adj / det[..., None, None]
+    return adj / (det[..., None, None] * scale)

@@ -106,6 +106,8 @@ def main(argv=None):
     cfg = Config(fast_threshold=8.0, init_min_features=60,
                  init_min_tracked=50, init_min_triangulated=30,
                  init_min_disparity=2.0, kf_disparity=12.0,
+                 cell_size=20,  # denser corner grid than the VO default:
+                 # the export wants landmark COUNT (BAL problem-93 scale)
                  loop_closure=True, loop_db_capacity=256,
                  loop_min_gap_frames=10 ** 9,  # db = archive only: no
                  # closure rewrites, the exported problem keeps raw drift
