@@ -489,8 +489,7 @@ def _chol3_flat(h9):
 _Z_MAX_BYTES = 2 * 1024**3
 
 
-def _solve_explicit_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
-                           jacobi: bool = True):
+def _solve_explicit_direct(blocks: "DirectBlocks", lam, cam_fixed, E):
     """EXACT dense Schur solve via a square-root factorization — the
     BAL-scale fast path that replaces the CG loop entirely.
 
@@ -554,13 +553,25 @@ def _solve_explicit_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
         .at[flat_idx.reshape(-1)].add(zupd.reshape(-1),
                                       mode="promise_in_bounds") \
         .reshape(3 * P, 9 * K)
-    S_corr = jax.lax.dot_general(Z, Z, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
 
-    # bordered camera system: S = blockdiag(Hcc_d) - S_corr
-    S = -S_corr
+    # Jacobi scaling applied BEFORE the big matmul: normalize Z's columns
+    # by sqrt(diag S) so S~ = D^-1/2 (Hcc_d - Z^T Z) D^-1/2 accumulates in
+    # f32 with O(eps) ABSOLUTE error — scaling after the matmul commits
+    # ~|S| * eps errors first, which on real-structure problems (diag
+    # spreads ~1e14) destroyed PSD-ness and made the factorization NaN at
+    # small lambda (round-5 chip debugging). diag(S) comes cheaply from
+    # Hcc_d's diagonal minus Z's column norms.
+    hdiag = jnp.diagonal(Hcc_d, axis1=-2, axis2=-1).reshape(9 * K)
+    colsq = jnp.sum(Z * Z, axis=0)
+    sdiag = jnp.maximum(hdiag - colsq, 1e-10 * jnp.maximum(hdiag, 1e-20))
+    dinv = jax.lax.rsqrt(sdiag)
+    Zs = Z * dinv[None, :]
+    d2 = dinv.reshape(K, 9)
+    Hs = Hcc_d * (d2[:, :, None] * d2[:, None, :])
+    S = -jax.lax.dot_general(Zs, Zs, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
     S = S.reshape(K, 9, K, 9).at[jnp.arange(K), :, jnp.arange(K), :] \
-        .add(Hcc_d).reshape(9 * K, 9 * K)
+        .add(Hs).reshape(9 * K, 9 * K)
 
     # rhs_c = bc - by_cam(Jc^T Jp Hinv bp), factored through the 2-vector
     # t = Jp Hinv bp per observation
@@ -577,27 +588,17 @@ def _solve_explicit_direct(blocks: "DirectBlocks", lam, cam_fixed, E,
     keep_v = jnp.repeat((~cam_fixed).astype(S.dtype), 9)
     fixed_v = 1.0 - keep_v
     S = S * keep_v[:, None] * keep_v[None, :] + jnp.diag(fixed_v)
-    rhs = rhs_c.reshape(9 * K) * keep_v
-
-    if jacobi:
-        d = jnp.sqrt(jnp.maximum(jnp.diag(S), 1e-12))
-        dinv = 1.0 / d
-        S = S * dinv[:, None] * dinv[None, :]
-        rhs = rhs * dinv
+    rhs = rhs_c.reshape(9 * K) * dinv * keep_v
     S = S + 1e-6 * jnp.eye(S.shape[0], dtype=S.dtype)
-    # LU, not Cholesky: real-structure BAL problems (f/k1/k2 Jacobians
-    # near-parallel, weakly-observed cameras) push the Jacobi-scaled S
-    # past f32 PSD-ness at small lambda — chip Cholesky then NaNs EVERY
-    # LM iteration and the solve silently stalls at the initial cost
-    # (observed round 5 on the exported 221-cam problem). LU gives a
-    # finite step whose quality the LM accept test judges; the NaN guard
-    # turns any residual failure into a rejected (zero) step so the
-    # lambda schedule can recover.
-    xs = jnp.linalg.solve(S, rhs)
+    # the system is pre-scaled (diag ~1), so the f32 Cholesky is safe;
+    # residual pathologies (a camera with zero live observations at tiny
+    # lambda) become a rejected zero step via the NaN guard instead of
+    # poisoning the LM loop
+    Lc = jnp.linalg.cholesky(S)
+    y = jax.scipy.linalg.solve_triangular(Lc, rhs, lower=True)
+    xs = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False)
     xs = jnp.where(jnp.isfinite(xs), xs, 0.0)
-    if jacobi:
-        xs = xs * dinv
-    dc = xs.reshape(K, 9)
+    dc = (xs * dinv).reshape(K, 9)
 
     # back-substitute points: dp = Hinv (bp - W^T dc), factored:
     # (W^T dc)_o = Jp^T (Jc dc)_o with (Jc dc) two [O] scalars
