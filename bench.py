@@ -33,7 +33,8 @@ keyframe/closure counters.
   author recorded as "ridiculously slow" (README.md:45).
 * ``ba_bal_lm_iters_per_sec`` — LM iterations/sec of the exact Snavely BAL
   objective at BAL scale (120 cams x 60k points x 480k observations,
-  matrix-free PCG + SCHUR_JACOBI).
+  square-root dense-Schur fast path; matrix-free PCG + SCHUR_JACOBI past
+  the dense-Z memory ceiling).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 anchor is the KITTI capture rate — 10 frames/sec — i.e. vs_baseline = x

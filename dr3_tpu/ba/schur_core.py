@@ -17,6 +17,12 @@ This core assembles everything **per observation** and offers two solves:
   correction sum_p W_(k1,p) Hpp^-1_p W_(k2,p)^T accumulates with a
   ``fori_loop`` of segment-sums over observation *pairs* sharing a point.
   Memory O(O + P*d_max + K^2 C^2). Right for window/pose-graph K (<= ~64).
+* ``zexplicit`` — the same exact DENSE_SCHUR math through a square-root
+  factorization: with Hpp^-1 = L L^T per point, the correction is Z^T Z for
+  Z [3P, CK] built by one collision-free scatter of per-observation
+  L^T AtB^T blocks, so the whole correction is ONE MXU matmul (the C-dim
+  generalization of ba/snavely.py's BAL fast path). Fastest exact path at
+  window scale; memory O(P*K*C).
 * ``pcg`` — matrix-free preconditioned conjugate gradients on S with the
   block-Jacobi preconditioner (SCHUR_JACOBI — the reference's own choice,
   src/optimizer.cpp:161). Memory O(O + K C^2); scales to BAL-sized camera
@@ -42,7 +48,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from dr3_tpu.geometry.linalg import chol_solve_small, inv3x3
+from dr3_tpu.geometry.linalg import chol3, chol_solve_small, inv3x3
 
 
 class SchurBlocks(NamedTuple):
@@ -241,6 +247,40 @@ def _explicit_s_corr(WHinv_pad, AtB_pad, cam_pad, pt_table, n_cams: int):
     return s_flat.reshape(n_cams, n_cams, C, C).transpose(0, 2, 1, 3)
 
 
+def _explicit_s_corr_sqrt(Hpp_inv, AtB, obs_cam, obs_pt,
+                          n_cams: int, n_points: int):
+    """W Hpp^-1 W^T as Z^T Z — ONE collision-free scatter + ONE MXU matmul.
+
+    The square-root factorization of ba/snavely.py's BAL fast path
+    (`_solve_explicit_direct`), generalized to C-dim camera blocks: with
+    Hpp^-1_p = L_p L_p^T, the matrix Z in R^{3P x CK} whose (point, camera)
+    block is L_p^T (Jp^T Jc)_o = L_p^T AtB_o^T satisfies
+    sum_p W Hpp^-1 W^T = Z^T Z. Duplicate (cam, point) observations
+    accumulate into the same block, which is exactly W_kp = sum_o AtB_o, so
+    the scatter-ADD is correct for any observation multiplicity; padding
+    rows carry zero AtB blocks (linearize folds weights) and contribute 0.
+
+    vs `_explicit_s_corr_dense`: half the scratch ([3P, CK] once instead
+    of U and V at [P, K, C, 3] each), one scatter instead of two, and half
+    the matmul FLOPs (Z^T Z instead of U2 @ V2^T) — and it replaces the
+    window-BA PCG loop (each CG iteration pays a point scatter + gather)
+    with an exact solve, the round-5 change that took the in-scan keyframe
+    path off the mapping-phase critical path.
+    """
+    O, C, _ = AtB.shape
+    Lo = chol3(Hpp_inv)[obs_pt]                          # [O, 3, 3] lower
+    zupd = jnp.einsum("ojr,ocj->orc", Lo, AtB)           # [O, 3, C]
+    rows = 3 * obs_pt[:, None] + jnp.arange(3, dtype=obs_pt.dtype)[None, :]
+    cols = C * obs_cam[:, None] + jnp.arange(C, dtype=obs_cam.dtype)[None, :]
+    flat = (rows[:, :, None] * (C * n_cams) + cols[:, None, :]).reshape(-1)
+    Z = jnp.zeros((3 * n_points * C * n_cams,), AtB.dtype) \
+        .at[flat].add(zupd.reshape(-1), mode="promise_in_bounds") \
+        .reshape(3 * n_points, C * n_cams)
+    S = jax.lax.dot_general(Z, Z, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return S.reshape(n_cams, C, n_cams, C)
+
+
 def _pad_obs(x):
     return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
 
@@ -350,8 +390,12 @@ def solve_schur(blocks: SchurBlocks, lam, cam_fixed, *,
     if has_g:
         keep_v = jnp.concatenate([keep_v, jnp.ones((G,), keep.dtype)])
 
-    if method == "explicit":
-        if P * K * C * 3 <= _DENSE_W_MAX_ELEMS:
+    if method in ("explicit", "zexplicit"):
+        if method == "zexplicit":
+            S_corr = _explicit_s_corr_sqrt(Hpp_inv, blocks.AtB,
+                                           blocks.obs_cam, blocks.obs_pt,
+                                           K, P)
+        elif P * K * C * 3 <= _DENSE_W_MAX_ELEMS:
             S_corr = _explicit_s_corr_dense(WHinv, blocks.AtB,
                                             blocks.obs_cam, blocks.obs_pt,
                                             blocks.active, K, P)

@@ -88,6 +88,27 @@ def chol_solve_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(x, axis=-1)
 
 
+def chol3(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched lower-Cholesky factor of SPD [..., 3, 3] blocks, closed form
+    (scalar VPU ops — no LU/Cholesky dispatch per block). Inputs are
+    damped-PD by construction (BA Hpp^-1 blocks); sqrt args are floored so
+    a degenerate block yields a finite (if inexact) factor instead of NaN.
+    """
+    eps = 1e-30
+    a = jnp.sqrt(jnp.maximum(m[..., 0, 0], eps))
+    b = m[..., 1, 0] / a
+    c = m[..., 2, 0] / a
+    d = jnp.sqrt(jnp.maximum(m[..., 1, 1] - b * b, eps))
+    e = (m[..., 2, 1] - b * c) / d
+    f = jnp.sqrt(jnp.maximum(m[..., 2, 2] - c * c - e * e, eps))
+    z = jnp.zeros_like(a)
+    return jnp.stack([
+        a, z, z,
+        b, d, z,
+        c, e, f,
+    ], axis=-1).reshape(m.shape)
+
+
 def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
     """Closed-form batched 3x3 inverse (adjugate / det) — no LU dispatch.
 

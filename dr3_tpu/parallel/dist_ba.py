@@ -40,7 +40,7 @@ from jax.sharding import PartitionSpec as P
 
 from dr3_tpu.ba.problem import BAProblem, apply_update, linearize
 from dr3_tpu.ba.schur_core import (_DENSE_W_MAX_ELEMS, _explicit_s_corr,
-                                   _explicit_s_corr_dense, _pad_obs,
+                                   _explicit_s_corr_sqrt, _pad_obs,
                                    assemble_blocks, group_by_point)
 from dr3_tpu.ba.schur_lm import BAResult
 from dr3_tpu.geometry.linalg import inv3x3
@@ -151,11 +151,13 @@ def _dist_ba_shardfn(cam_wxyz, cam_t, intr, dist, cam_fixed, pts_l, oc, op,
         # camera-block dim read off AtB [O, C, 3] (not a literal 6) so the
         # memory guard stays correct if the parameterization grows
         if P_loc * K * blocks.AtB.shape[-2] * 3 <= _DENSE_W_MAX_ELEMS:
-            # per-shard dense-W correction as one MXU contraction (same
-            # 91x win as the single-device window solve, ba/schur_core.py)
-            S_corr_part = _explicit_s_corr_dense(
-                WHinv, blocks.AtB, blocks.obs_cam, blocks.obs_pt,
-                blocks.active, K, P_loc)
+            # per-shard square-root correction Z^T Z — one collision-free
+            # scatter + one MXU matmul per shard, psum'd like any other
+            # partial (schur_core._explicit_s_corr_sqrt; measured faster
+            # than the dense-W two-scatter contraction at window shapes)
+            S_corr_part = _explicit_s_corr_sqrt(
+                Hpp_inv, blocks.AtB, blocks.obs_cam, blocks.obs_pt,
+                K, P_loc)
         else:
             tbl = group_by_point(blocks.obs_pt, blocks.active, P_loc, K)
             S_corr_part = _explicit_s_corr(

@@ -26,12 +26,11 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from dr3_tpu.geometry.homography import apply_homography
 from dr3_tpu.io.image import load_image_dir
 from dr3_tpu.ops import blend
 from dr3_tpu.ops.warp import (warp_perspective_auto as warp_perspective,
                               warp_spherical_auto as warp_spherical)
-from dr3_tpu.pipelines.stitch import Stitch
+from dr3_tpu.pipelines.stitch import Stitch, _warp_corners_np
 from dr3_tpu.utils.config import Config
 from dr3_tpu.utils.timing import Monitor
 
@@ -50,6 +49,11 @@ class Panorama:
     feathering_width: int = 20
     cfg: Config = dataclasses.field(default_factory=Config)
     monitor: Monitor = dataclasses.field(default_factory=Monitor)
+    # download the finished canvas as uint8 (4x fewer bytes through the
+    # ~15-20 MB/s device->host relay; the sources are 8-bit images, so the
+    # only loss is output re-quantization). False returns the f32 canvas
+    # bit-exactly.
+    transfer_uint8: bool = True
 
     def process_dir(self, dir_name: str) -> np.ndarray:
         images = load_image_dir(dir_name)
@@ -60,28 +64,45 @@ class Panorama:
             if self.focal_length <= 0:
                 raise ValueError("Translate mode needs a focal length")
             self.monitor.tic("spherical_warp")
-            images = [np.array(warp_spherical(jnp.asarray(im), self.focal_length))
+            # pre-warp ON DEVICE and keep the handles: the warped frames
+            # are only consumed by further device programs (alignment +
+            # canvas paste), and downloading them cost ~9 s/run through
+            # the ~15-20 MB/s relay — the whole panorama budget (measured
+            # round 5, tools/profile_panorama.py). Alignment dispatches
+            # overlap the warp compute; the timer here records dispatch
+            # only, the work lands in the align/paste fetches.
+            images = [warp_spherical(jnp.asarray(im), self.focal_length)
                       for im in images]
             self.monitor.toc("spherical_warp")
 
-        # 1. chained pairwise alignment (panorama.cpp:42-57)
+        # 1. chained pairwise alignment (panorama.cpp:42-57): all pair
+        # programs dispatch before any result is read, then ONE stacked
+        # fetch decodes every alignment (same-shape pairs share one
+        # compiled program, so dispatches overlap on device)
         self.monitor.tic("align")
         stitcher = Stitch(self.cfg, translate_only=self.pan_type is PanType.TRANSLATE)
+        packed = [stitcher.align_pair_async(images[i], images[i + 1])
+                  for i in range(len(images) - 1)]
+        if len({p.shape for p in packed}) <= 1:
+            rows = np.asarray(jnp.stack(packed)) if packed else []
+        else:
+            rows = [np.asarray(p) for p in packed]
         Hs: List[np.ndarray] = [np.eye(3, dtype=np.float32)]
-        for i in range(len(images) - 1):
-            align = stitcher.align_pair(images[i], images[i + 1])
+        for row in rows:
+            align = stitcher.unpack_alignment(row)
             Hinv = np.linalg.inv(align.H).astype(np.float32)
             Hinv = Hinv / Hinv[2, 2]
             Hs.append((Hs[-1] @ Hinv).astype(np.float32))
         self.monitor.toc("align")
 
-        # 2. canvas bbox over all warped corners (panorama.cpp:72-141)
+        # 2. canvas bbox over all warped corners (panorama.cpp:72-141) —
+        # host numpy: a 4-point device dispatch + fetch per image would
+        # cost a relay round-trip each
         all_x, all_y = [], []
         bboxes = []
         for img, H in zip(images, Hs):
             h, w = img.shape[:2]
-            c = np.array([[0, 0], [w, 0], [0, h], [w, h]], np.float32)
-            tc = np.array(apply_homography(jnp.asarray(H), jnp.asarray(c)))
+            tc = _warp_corners_np(H, w, h)
             bboxes.append((tc[:, 0].min(), tc[:, 0].max(), tc[:, 1].min(), tc[:, 1].max()))
             all_x += [tc[:, 0].min(), tc[:, 0].max()]
             all_y += [tc[:, 1].min(), tc[:, 1].max()]
@@ -108,6 +129,11 @@ class Panorama:
                                          self.feathering_width)
             canvas = blend.accumulate(canvas, warped, valid, col_w)
         out = blend.normalize(canvas)
-        self.monitor.toc("paste", block=out)
-        out = np.array(out)
-        return out[..., 0] if channels == 1 else out
+        # the ONE device->host download of the run
+        if self.transfer_uint8:
+            q = jnp.clip(out * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+            arr = np.asarray(q).astype(np.float32) / 255.0
+        else:
+            arr = np.asarray(out)
+        self.monitor.toc("paste")
+        return arr[..., 0] if channels == 1 else arr

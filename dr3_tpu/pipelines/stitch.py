@@ -29,8 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dr3_tpu.geometry.homography import apply_homography
-from dr3_tpu.geometry.ransac import RansacResult, ransac_homography
+from dr3_tpu.geometry.ransac import ransac_homography
 from dr3_tpu.io.image import to_gray
 from dr3_tpu.ops import corners, lk, match, pyramid
 from dr3_tpu.ops.warp import (warp_perspective_auto as warp_perspective,
@@ -82,13 +81,35 @@ def _pair_program(lg, rg, key, cfg: Config, translate_only: bool):
     every panorama pair shares the same image shape. Module-level (keyed on
     the frozen Config + mode, both hashable) so compiles are shared across
     Stitch *instances* — Panorama constructs a new Stitch per run and must
-    not pay a recompile."""
+    not pay a recompile.
+
+    Returns ONE packed flat f32 vector [6N + 11]: (p1, p2, w, inliers,
+    model, n_inliers, n_matches). Every synced fetch through the axon
+    relay costs 50-300 ms regardless of size, so the whole alignment
+    reads back in a single round-trip — and Panorama stacks the packed
+    vectors of ALL pairs into one fetch (round-5: the panorama bench was
+    ~20 relay round-trips of latency around ~1 s of device compute)."""
     p1, p2, w = find_correspondences(lg, rg, cfg)
     # reference uses 500 iters for stitching (stitch.hpp:50-52)
     res = ransac_homography(key, p1, p2, w, n_samples=500,
                             threshold=cfg.ransac_threshold,
                             translate_only=translate_only)
-    return p1, p2, w, res
+    f32 = jnp.float32
+    return jnp.concatenate([
+        p1.reshape(-1).astype(f32), p2.reshape(-1).astype(f32),
+        w.astype(f32), res.inliers.astype(f32),
+        res.model.reshape(-1).astype(f32),
+        jnp.stack([res.n_inliers.astype(f32),
+                   jnp.sum(w > 0).astype(f32)])])
+
+
+def _warp_corners_np(H: np.ndarray, w: int, h: int) -> np.ndarray:
+    """[4, 2] image corners through a homography — host numpy (a 4-point
+    device dispatch + fetch would cost a full relay round-trip each)."""
+    c = np.array([[0, 0, 1], [w, 0, 1], [0, h, 1], [w, h, 1]],
+                 np.float32).T
+    t = np.asarray(H, np.float32) @ c
+    return (t[:2] / t[2:3]).T
 
 
 class Stitch:
@@ -103,35 +124,59 @@ class Stitch:
         self.focal_length = focal_length
         self.key = jax.random.PRNGKey(seed)
 
-    def align_pair(self, left: np.ndarray, right: np.ndarray) -> PairAlignment:
-        """Estimate H mapping left pixels into right pixels
-        (reference align_pair + least_squares_fit, src/stitch.cpp:101-218)."""
+    def align_pair_async(self, left: np.ndarray, right: np.ndarray):
+        """Dispatch the pair program; returns the packed device vector
+        WITHOUT fetching (uploads are fast, round-trips are not — callers
+        aligning many pairs overlap every dispatch and fetch once)."""
         lg = jnp.asarray(to_gray(left))
         rg = jnp.asarray(to_gray(right))
         self.key, sub = jax.random.split(self.key)
-        p1, p2, w, res = _pair_program(lg, rg, sub, self.cfg,
-                                       self.translate_only)
+        return _pair_program(lg, rg, sub, self.cfg, self.translate_only)
+
+    @staticmethod
+    def unpack_alignment(flat: np.ndarray) -> PairAlignment:
+        """Host-side decode of one packed pair-program vector."""
+        flat = np.asarray(flat)
+        n = (flat.shape[0] - 11) // 6
+        p1 = flat[:2 * n].reshape(n, 2)
+        p2 = flat[2 * n:4 * n].reshape(n, 2)
+        w = flat[4 * n:5 * n]
+        inl = flat[5 * n:6 * n] > 0.5
+        model = flat[6 * n:6 * n + 9].reshape(3, 3)
         return PairAlignment(
-            H=np.array(res.model), n_inliers=int(res.n_inliers),
-            n_matches=int(jnp.sum(w > 0)), p_left=np.array(p1),
-            p_right=np.array(p2), inliers=np.array(res.inliers),
+            H=model, n_inliers=int(round(float(flat[6 * n + 9]))),
+            n_matches=int(round(float(flat[6 * n + 10]))),
+            p_left=p1, p_right=p2, inliers=inl,
         )
+
+    def align_pair(self, left: np.ndarray, right: np.ndarray) -> PairAlignment:
+        """Estimate H mapping left pixels into right pixels
+        (reference align_pair + least_squares_fit, src/stitch.cpp:101-218).
+        One relay round-trip: the packed program output fetches as a single
+        host read."""
+        return self.unpack_alignment(
+            np.asarray(self.align_pair_async(left, right)))
 
     def process(self, left: np.ndarray, right: np.ndarray):
         """Full pair stitch (reference Stitch::process, src/stitch.cpp:29-82):
         canvas = bbox(corners(left) U Hinv corners(right)); warp both; 50/50
         blend. Returns (stitched [H, W, C], H_right_to_left 3x3)."""
         if self.translate_only and self.focal_length > 0:
-            left = np.array(warp_spherical(jnp.asarray(left), self.focal_length))
-            right = np.array(warp_spherical(jnp.asarray(right), self.focal_length))
+            # both warps dispatch before the single stacked fetch
+            lw = warp_spherical(jnp.asarray(left), self.focal_length)
+            rw = warp_spherical(jnp.asarray(right), self.focal_length)
+            if lw.shape == rw.shape:
+                both = np.asarray(jnp.stack([lw, rw]))
+                left, right = both[0], both[1]
+            else:
+                left, right = np.asarray(lw), np.asarray(rw)
         align = self.align_pair(left, right)
         Hinv = np.linalg.inv(align.H)
         Hinv = Hinv / Hinv[2, 2]
 
         h, w = right.shape[:2]
         corners_r = np.array([[0, 0], [w, 0], [0, h], [w, h]], np.float32)
-        tr = np.array(apply_homography(jnp.asarray(Hinv, jnp.float32),
-                                       jnp.asarray(corners_r)))
+        tr = _warp_corners_np(Hinv, w, h)
         xs = np.concatenate([tr[:, 0], corners_r[:, 0]])
         ys = np.concatenate([tr[:, 1], corners_r[:, 1]])
         min_x, min_y = xs.min(), ys.min()

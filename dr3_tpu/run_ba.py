@@ -48,7 +48,8 @@ def main(argv=None):
     ap.add_argument("--optimize-intrinsics", action="store_true",
                     help="pinhole model: solve the shared 4-param "
                          "intrinsics block too")
-    ap.add_argument("--solver", choices=("auto", "explicit", "pcg"),
+    ap.add_argument("--solver",
+                    choices=("auto", "explicit", "zexplicit", "pcg"),
                     default="auto")
     ap.add_argument("--out", default=None, help="write refined BAL here")
     ap.add_argument("--render", default=None,

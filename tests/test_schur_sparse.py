@@ -100,6 +100,59 @@ def test_explicit_matches_dense_with_masked_obs(rng):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_zexplicit_matches_dense_oracle(rng):
+    """Square-root correction (Z^T Z, one scatter + one matmul) == the
+    dense-W oracle — the exact-solve guarantee behind making zexplicit the
+    window-BA default."""
+    prob, *_ = synthetic_ba(rng, n_cams=5, n_pts=60, noise_px=0.4,
+                            pose_noise=0.03)
+    for lam in (1e-3, 1e-1):
+        dc_o, dp_o = dense_schur_oracle(prob, lam)
+        dc, dp, dg = _sparse_step(prob, lam, "zexplicit")
+        assert dg is None
+        np.testing.assert_allclose(np.asarray(dc), np.asarray(dc_o),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_o),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_zexplicit_matches_dense_with_masked_obs(rng):
+    """Masked/padding rows (zero-weight, clipped ids that collide with real
+    observations) must contribute exactly zero through the Z scatter-add."""
+    prob, *_ = synthetic_ba(rng, n_cams=4, n_pts=40, noise_px=0.2)
+    w = np.ones(prob.n_obs, np.float32)
+    w[:: 3] = 0.0
+    prob = prob._replace(obs_w=jnp.asarray(w))
+    dc_o, dp_o = dense_schur_oracle(prob, 1e-2)
+    dc, dp, _ = _sparse_step(prob, 1e-2, "zexplicit")
+    np.testing.assert_allclose(np.asarray(dc), np.asarray(dc_o),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_o),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_zexplicit_intrinsics_matches_explicit(rng):
+    """The bordered global-intrinsics system is shared code between the
+    explicit and zexplicit branches; pin the joint solve anyway."""
+    prob, *_ = synthetic_ba(rng, n_cams=5, n_pts=60, noise_px=0.4,
+                            pose_noise=0.03)
+    res = linearize(prob, 5.0, with_intrinsics=True)
+    active = (prob.obs_w > 0) & res.valid
+    blocks = assemble_blocks(res.r, res.Jc, res.Jp, prob.obs_cam,
+                             prob.obs_pt, active, prob.n_cams,
+                             prob.n_points, Jg=res.Jg)
+    dc_e, dp_e, dg_e = solve_schur(blocks, 1e-2, prob.cam_fixed,
+                                   method="explicit", d_max=prob.n_cams)
+    dc_z, dp_z, dg_z = solve_schur(blocks, 1e-2, prob.cam_fixed,
+                                   method="zexplicit")
+    np.testing.assert_allclose(np.asarray(dc_z), np.asarray(dc_e),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dp_z), np.asarray(dp_e),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dg_z), np.asarray(dg_e),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_pcg_matches_dense_oracle(rng):
     prob, *_ = synthetic_ba(rng, n_cams=5, n_pts=60, noise_px=0.4,
                             pose_noise=0.03)
