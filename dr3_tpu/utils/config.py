@@ -76,15 +76,19 @@ class Config:
                                      # host dispatch; the host pays ONE
                                      # relay round-trip per batch instead of
                                      # several per frame. 1 = per-frame.
-    scan_speculation_depth: int = 2  # dispatched-but-unfetched scan batches
-                                     # kept in flight: each chains off the
-                                     # previous batch's device carry, so the
-                                     # relay's 50-300 ms per-fetch latency
-                                     # overlaps 1+ full batches of device
-                                     # work. 2 = round-4's single-spec
-                                     # pipelining; raise on high-latency
-                                     # relay windows. Events discard the
-                                     # whole chain (counted in
+    scan_speculation_depth: int = 1  # dispatched-but-unfetched scan batches
+                                     # kept in flight, each chaining off the
+                                     # previous batch's device carry. >1
+                                     # only helps where device->host copies
+                                     # truly run async; on the axon relay a
+                                     # fetch DRAINS the whole dispatch
+                                     # queue, so speculation cannot overlap
+                                     # anything and only adds discard waste
+                                     # on events (measured round 5, v5e:
+                                     # depth 1/2/3 = 56.4/54.4/37.4 fps
+                                     # steady; tools/profile_speculation
+                                     # .py). Events discard the chain
+                                     # beyond the current batch (counted in
                                      # MonoVO.n_discarded_batches).
     scan_transfer_uint8: bool = False  # ship frames to the device as uint8
                                      # (4x less relay upload traffic,
