@@ -132,12 +132,22 @@ def main(argv=None):
 
     d2 = load_bal(args.out)
     sp = bal_to_snavely(d2)
+    # parity compares the SOLVERS, so the PCG inner solve runs near-exact
+    # (cg_tol=1e-5, q_eta=0 — the solver docstring's own instruction for
+    # fixed-LM-budget parity callers; the loose default forcing trades
+    # per-step exactness for wall clock and needs more OUTER iterations,
+    # which showed up as a 19%-at-10-iters / 5.9%-at-30-iters cost gap on
+    # this ill-conditioned real-structure export)
     res_p = bundle_adjust_snavely(sp, args.iters, huber_delta=2.0,
-                                  solver="pcg")
+                                  solver="pcg", cg_iters=200,
+                                  cg_tol=1e-5, q_eta=0.0)
     cp0, cp1 = float(res_p.initial_cost), float(res_p.final_cost)
     res_e = bundle_adjust_snavely(sp, args.iters, huber_delta=2.0,
                                   solver="explicit")
     ce1 = float(res_e.final_cost)
+    res_z = bundle_adjust_snavely(sp, args.iters, huber_delta=2.0,
+                                  solver="zexplicit")
+    cz1 = float(res_z.final_cost)
 
     out = {
         "frames": args.frames,
@@ -149,12 +159,15 @@ def main(argv=None):
         "cost_initial": round(cp0, 2),
         "cost_final_pcg": round(cp1, 2),
         "cost_final_explicit": round(ce1, 2),
+        "cost_final_zexplicit": round(cz1, 2),
         "cost_per_obs_final": round(cp1 / max(n_obs, 1), 4),
-        "paths_agree_pct": round(100.0 * abs(cp1 - ce1) / max(cp1, 1e-9), 2),
+        "paths_agree_pct": round(100.0 * max(abs(cp1 - ce1), abs(cz1 - ce1))
+                                 / max(cp1, 1e-9), 2),
     }
     print(json.dumps(out))
     ok = (np.isfinite(cp1) and cp1 <= cp0
-          and abs(cp1 - ce1) <= 0.05 * max(cp1, 1e-9))
+          and abs(cp1 - ce1) <= 0.05 * max(cp1, 1e-9)
+          and abs(cz1 - ce1) <= 0.05 * max(cp1, 1e-9))
     return 0 if ok else 1
 
 
