@@ -92,6 +92,26 @@ def test_scan_batch_width_invariance(rng):
 
 
 @pytest.mark.slow
+def test_scan_speculation_depth_invariance(rng):
+    """The speculative dispatch chain (depth > 1) must be semantics-free:
+    same trajectory/keyframes/closures as depth 1, with the discarded
+    chain tails counted. Default flipped to depth 1 in round 5 (a relay
+    fetch drains the dispatch queue, so chains buy nothing THERE), so
+    this pins the >1 path the defaults no longer exercise — including
+    chain discard on a loop-closure event."""
+    frames = _out_and_back_frames(rng)
+    runs = {}
+    for depth in (1, 3):
+        cfg = Config(**_BASE, frames_per_dispatch=4,
+                     scan_speculation_depth=depth)
+        runs[depth] = _run(frames, cfg, batched=True)
+    assert runs[3].n_loop_closures >= 1  # an event discarded the chain
+    assert runs[3].n_discarded_batches > 0
+    assert runs[1].n_discarded_batches == 0
+    _assert_equivalent(runs[1], runs[3])
+
+
+@pytest.mark.slow
 def test_scan_capacity_early_out(rng):
     """Tiny map capacity: the scan must hand capacity keyframes back to the
     host (_REASON_HOST_KF), compaction must run, and the batched trajectory
