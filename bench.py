@@ -271,9 +271,11 @@ def _bench_pipeline(jax, jnp):
     # and loop_db_capacity=24 so the database ring-compaction path gets
     # exercised (and warmed) within the run. uint8 transfer is lossless
     # for the 8-bit PNGs.
-    # batch 32 amortizes the relay's 50-300 ms per-fetch latency over more
-    # frames than the library default of 16 (measured: the fps is then
-    # stable ~42 across slow and fast relay windows instead of 22-42)
+    # batch 32 amortizes the relay's per-fetch latency over more frames
+    # than the library default of 16; the round-5 sweep (32/48/64 =
+    # 51.4/52.9/26.3 fps steady) pins 32 as the sweet spot, and four
+    # consecutive composite captures at 32 agreed within ~2.6%
+    # (31.1/31.6/31.9/31.5)
     cfg = Config(loop_min_gap_frames=20, loop_db_capacity=24,
                  frames_per_dispatch=int(os.environ.get("BENCH_BATCH", "32")),
                  scan_transfer_uint8=True)
